@@ -1,0 +1,85 @@
+"""Differential tests: device (JAX) query path == host (numpy) reference path."""
+
+import numpy as np
+
+from xspect2_tpu.core import dna
+from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+from xspect2_tpu.ops.query import DeviceQueryEngine, prepare_batch
+from tests.conftest import random_dna
+
+
+def _build_index(rng, k=21, num_classes=3, seq_len=2000, num_hashes=7, fpr=0.01):
+    names = [f"c{i}" for i in range(num_classes)]
+    seqs = {n: random_dna(rng, seq_len) for n in names}
+    idx = BlockedBitSlicedIndex.create(k, names, seq_len, fpr=fpr, num_hashes=num_hashes)
+    for ci, n in enumerate(names):
+        hi, lo, v = dna.canonical_kmers(dna.encode(seqs[n]), k)
+        idx.insert_kmers(ci, hi, lo, v)
+    return idx, seqs
+
+
+def _host_counts(idx, records, step=1):
+    out = []
+    for _, codes in records:
+        hi, lo, valid = dna.canonical_kmers(codes, idx.k, step=step)
+        out.append(idx.count_hits_host(hi, lo, valid))
+    return np.stack(out)
+
+
+def test_device_matches_host_basic(rng):
+    idx, seqs = _build_index(rng)
+    engine = DeviceQueryEngine(idx, chunk=512)
+    records = [(n, dna.encode(s)) for n, s in seqs.items()]
+    dev = engine.count_hits_records(records)
+    host = _host_counts(idx, records)
+    np.testing.assert_array_equal(dev, host)
+    # training sequences fully hit their own class
+    for i in range(len(records)):
+        assert dev[i, i] == len(seqs[f"c{i}"]) - idx.k + 1
+
+
+def test_device_matches_host_with_step_and_invalid(rng):
+    idx, seqs = _build_index(rng, k=21)
+    engine = DeviceQueryEngine(idx, chunk=256)
+    # sequence with Ns and mixed case
+    probe = (
+        seqs["c0"][:300]
+        + "NNNN"
+        + seqs["c1"][100:400].lower()
+        + "N"
+        + random_dna(rng, 250)
+    )
+    records = [("probe", dna.encode(probe))]
+    for step in (1, 3, 500):
+        dev = engine.count_hits_records(records, step=step)
+        host = _host_counts(idx, records, step=step)
+        np.testing.assert_array_equal(dev, host, err_msg=f"step={step}")
+
+
+def test_device_matches_host_many_records(rng):
+    idx, seqs = _build_index(rng, k=31, num_classes=40, seq_len=900, num_hashes=4)
+    engine = DeviceQueryEngine(idx, chunk=1024)
+    # many short reads from random classes
+    records = []
+    for i in range(200):
+        src = seqs[f"c{int(rng.integers(0, 40))}"]
+        start = int(rng.integers(0, len(src) - 150))
+        records.append((f"read{i}", dna.encode(src[start : start + 150])))
+    dev = engine.count_hits_records(records)
+    host = _host_counts(idx, records)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_prepare_batch_kmer_counts(rng):
+    recs = [("a", dna.encode(random_dna(rng, 100))), ("b", dna.encode(random_dna(rng, 57)))]
+    b = prepare_batch(recs, k=21, step=5, chunk=128)
+    assert b.num_kmers == [int(np.ceil(80 / 5)), int(np.ceil(37 / 5))]
+    assert b.num_positions % 128 == 0
+    assert len(b.codes) == b.num_positions + 20
+
+
+def test_prepare_batch_rejects_short():
+    import pytest
+
+    with pytest.raises(ValueError, match="longer than k"):
+        prepare_batch([("x", dna.encode("ACGT"))], k=21)

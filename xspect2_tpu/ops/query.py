@@ -1,0 +1,243 @@
+"""Batched k-mer membership query as a single jitted XLA computation.
+
+Pipeline (all device-side, per chunk of k-mer positions, inside one
+``lax.scan`` so XLA pipelines gather and compute):
+
+1. pack forward and reverse-complement k-mer windows from a flat uint8
+   code tensor into (hi, lo) uint32 word pairs (unrolled static slices,
+   VPU-only),
+2. canonicalize (element-wise lexicographic min),
+3. hash to (block, rows) with the same uint32 mixing as host build,
+4. gather each k-mer's index block — ONE contiguous transfer per k-mer,
+5. select the ``num_hashes`` probe rows in-register, AND them,
+6. unpack per-class bits and segment-sum into per-record hit counts.
+
+This replaces the reference's hot loop (COBS ``Search.search`` per
+record, reference: src/xspect/models/probabilistic_filter_model.py:196-235)
+with a throughput-oriented batched device op.  Per-record semantics
+(k-mer windows never span records, per-record sparse-sampling phase)
+are encoded in the host-prepared validity mask.
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from xspect2_tpu.core import hashing
+from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+
+DEFAULT_CHUNK = 1 << 16  # k-mer positions per scan step
+DEFAULT_MAX_BATCH_BASES = 1 << 23  # ~8M bases per device batch
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+@dataclass
+class PreparedBatch:
+    """Host-prepared flat batch of records for one device query call."""
+
+    codes: np.ndarray  # uint8 [num_positions + k - 1]
+    rec_ids: np.ndarray  # int32 [num_positions]
+    valid: np.ndarray  # bool  [num_positions]  (k-mer start validity)
+    record_names: list[str] = field(default_factory=list)
+    num_kmers: list[int] = field(default_factory=list)  # per record, ceil((len-k+1)/step)
+
+    @property
+    def num_records(self) -> int:
+        return len(self.record_names)
+
+    @property
+    def num_positions(self) -> int:
+        return len(self.rec_ids)
+
+
+def prepare_batch(records, k: int, step: int = 1, chunk: int = DEFAULT_CHUNK):
+    """Flatten records into a :class:`PreparedBatch`.
+
+    ``records`` is a list of (name, codes_uint8) pairs.  Every record must
+    be strictly longer than k (reference contract, reference:
+    src/xspect/models/probabilistic_filter_model.py:224-225).
+    """
+    from xspect2_tpu.core.dna import INVALID
+
+    names = []
+    num_kmers = []
+    code_parts = []
+    rec_id_parts = []
+    valid_parts = []
+    for idx, (name, codes) in enumerate(records):
+        n = len(codes)
+        if not n > k:
+            raise ValueError("Invalid sequence, must be longer than k")
+        names.append(name)
+        nk = n - k + 1
+        num_kmers.append(math.ceil(nk / step))
+        code_parts.append(codes)
+        rec_id_parts.append(np.full(n, idx, dtype=np.int32))
+        v = np.zeros(n, dtype=bool)
+        v[0:nk:step] = True
+        valid_parts.append(v)
+
+    codes = np.concatenate(code_parts) if code_parts else np.zeros(0, dtype=np.uint8)
+    rec_ids = np.concatenate(rec_id_parts) if rec_id_parts else np.zeros(0, np.int32)
+    valid = np.concatenate(valid_parts) if valid_parts else np.zeros(0, dtype=bool)
+
+    # pad the position axis to a whole number of chunks (power-of-two count
+    # to bound jit-cache size), plus a k-1 halo on the code tensor
+    n_pos = len(rec_ids)
+    num_chunks = _next_pow2(max(1, -(-n_pos // chunk)))
+    n_pad = num_chunks * chunk
+    codes_pad = np.full(n_pad + k - 1, INVALID, dtype=np.uint8)
+    codes_pad[:n_pos] = codes
+    rec_ids_pad = np.zeros(n_pad, dtype=np.int32)
+    rec_ids_pad[:n_pos] = rec_ids
+    valid_pad = np.zeros(n_pad, dtype=bool)
+    valid_pad[:n_pos] = valid
+
+    return PreparedBatch(codes_pad, rec_ids_pad, valid_pad, names, num_kmers)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "num_hashes",
+        "rows_per_block",
+        "class_words",
+        "num_classes",
+        "num_blocks",
+        "chunk",
+        "num_chunks",
+        "max_records",
+    ),
+)
+def query_hits_device(
+    table2d,
+    codes,
+    rec_ids,
+    valid,
+    *,
+    k: int,
+    num_hashes: int,
+    rows_per_block: int,
+    class_words: int,
+    num_classes: int,
+    num_blocks: int,
+    chunk: int,
+    num_chunks: int,
+    max_records: int,
+):
+    """Per-record, per-class hit counts: returns int32 [max_records, num_classes]."""
+    lo_bases = min(k, 16)
+    hi_bases = k - lo_bases
+
+    cls = np.arange(num_classes)
+    word_idx = jnp.asarray((cls // 32).astype(np.int32))
+    bit_idx = jnp.asarray((cls % 32).astype(np.uint32))
+
+    def body(acc, i):
+        start = i * chunk
+        cchunk = lax.dynamic_slice(codes, (start,), (chunk + k - 1,)).astype(
+            jnp.uint32
+        )
+        rec_chunk = lax.dynamic_slice(rec_ids, (start,), (chunk,))
+        valid_chunk = lax.dynamic_slice(valid, (start,), (chunk,))
+
+        zero = jnp.uint32(0)
+        f_hi = jnp.zeros((chunk,), jnp.uint32)
+        f_lo = jnp.zeros((chunk,), jnp.uint32)
+        r_hi = jnp.zeros((chunk,), jnp.uint32)
+        r_lo = jnp.zeros((chunk,), jnp.uint32)
+        bad = jnp.zeros((chunk,), bool)
+
+        # forward packing: hi = first hi_bases, lo = last lo_bases
+        for j in range(k):
+            c = cchunk[j : j + chunk]
+            cb = c > 3
+            bad = bad | cb
+            cm = jnp.where(cb, zero, c)
+            if j < hi_bases:
+                f_hi = (f_hi << jnp.uint32(2)) | cm
+            else:
+                f_lo = (f_lo << jnp.uint32(2)) | cm
+        # reverse-complement packing: base t of rc-kmer is comp(code[k-1-t])
+        for t in range(k):
+            c = cchunk[k - 1 - t : k - 1 - t + chunk]
+            cm = jnp.where(c > 3, zero, jnp.uint32(3) - c)
+            if t < hi_bases:
+                r_hi = (r_hi << jnp.uint32(2)) | cm
+            else:
+                r_lo = (r_lo << jnp.uint32(2)) | cm
+
+        fwd_le = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+        hi = jnp.where(fwd_le, f_hi, r_hi)
+        lo = jnp.where(fwd_le, f_lo, r_lo)
+
+        block, rows = hashing.block_and_rows(
+            hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
+        )
+
+        blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
+        blk3 = blk.reshape(chunk, rows_per_block, class_words)
+        sel = jnp.take_along_axis(blk3, rows.astype(jnp.int32)[:, :, None], axis=1)
+        anded = sel[:, 0, :]
+        for h in range(1, num_hashes):
+            anded = anded & sel[:, h, :]
+
+        bits = (jnp.take(anded, word_idx, axis=1) >> bit_idx[None, :]) & jnp.uint32(1)
+        mask = valid_chunk & (~bad)
+        bits = bits.astype(jnp.int32) * mask[:, None].astype(jnp.int32)
+
+        seg = jax.ops.segment_sum(
+            bits, rec_chunk, num_segments=max_records, indices_are_sorted=True
+        )
+        return acc + seg, None
+
+    acc0 = jnp.zeros((max_records, num_classes), jnp.int32)
+    acc, _ = lax.scan(body, acc0, jnp.arange(num_chunks))
+    return acc
+
+
+class DeviceQueryEngine:
+    """Holds a device-resident index table and runs batched queries."""
+
+    def __init__(self, index: BlockedBitSlicedIndex, chunk: int = DEFAULT_CHUNK):
+        self.index = index
+        self.chunk = chunk
+        self.table = jnp.asarray(index.device_table())
+
+    def count_hits(self, batch: PreparedBatch) -> np.ndarray:
+        """Hit counts: int64 [batch.num_records, num_classes]."""
+        idx = self.index
+        if batch.num_records == 0:
+            return np.zeros((0, idx.num_classes), dtype=np.int64)
+        max_records = _next_pow2(max(8, batch.num_records))
+        num_chunks = batch.num_positions // self.chunk
+        out = query_hits_device(
+            self.table,
+            jnp.asarray(batch.codes),
+            jnp.asarray(batch.rec_ids),
+            jnp.asarray(batch.valid),
+            k=idx.k,
+            num_hashes=idx.num_hashes,
+            rows_per_block=idx.rows_per_block,
+            class_words=idx.class_words,
+            num_classes=idx.num_classes,
+            num_blocks=idx.num_blocks,
+            chunk=self.chunk,
+            num_chunks=num_chunks,
+            max_records=max_records,
+        )
+        return np.asarray(out)[: batch.num_records].astype(np.int64)
+
+    def count_hits_records(self, records, step: int = 1) -> np.ndarray:
+        """Convenience: records = list of (name, codes) -> [n_records, C] hits."""
+        batch = prepare_batch(records, self.index.k, step=step, chunk=self.chunk)
+        return self.count_hits(batch)
