@@ -1,0 +1,145 @@
+"""MLST model tests with a synthetic PubMLST-style scheme.
+
+Structural analogues of the reference's MLST tests (reference:
+tests/test_probabilistic_filter_mlst_model.py): per-locus allele
+indices, exact probe scores (len - k + 1 hits for a full allele),
+sequence splitting, sufficiency rule.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from xspect2_tpu.io.fasta import SeqRecord, write_fasta
+from xspect2_tpu.models.mlst_model import ProbabilisticFilterMlstSchemeModel
+from tests.conftest import random_dna
+
+K = 31
+ALLELE_LEN = 450
+
+
+@pytest.fixture()
+def scheme_dir(tmp_path, rng):
+    """Two loci x four alleles, written as Allele_ID_<n>.fasta files."""
+    scheme = tmp_path / "scheme"
+    alleles = {}
+    for locus in ("Oxf_cpn60", "Oxf_gltA"):
+        locus_dir = scheme / locus
+        locus_dir.mkdir(parents=True)
+        base = random_dna(rng, ALLELE_LEN)
+        for n in range(1, 5):
+            # alleles are point-mutation variants of the same base
+            variant = list(base)
+            for _ in range(n * 3):
+                pos = int(rng.integers(0, ALLELE_LEN))
+                variant[pos] = "ACGT"[int(rng.integers(0, 4))]
+            seq = "".join(variant)
+            alleles[(locus, n)] = seq
+            write_fasta(
+                [SeqRecord(seq, id=f"{locus}_{n}")],
+                locus_dir / f"Allele_ID_{n}.fasta",
+            )
+    return scheme, alleles
+
+
+def _make_model(tmp_path) -> ProbabilisticFilterMlstSchemeModel:
+    return ProbabilisticFilterMlstSchemeModel(
+        K,
+        "Oxford",
+        tmp_path / "models",
+        "https://example.org/schemes/1",
+        "abaumannii",
+    )
+
+
+def test_fit_and_allele_probe(tmp_path, scheme_dir):
+    scheme, alleles = scheme_dir
+    model = _make_model(tmp_path)
+    (tmp_path / "models").mkdir(exist_ok=True)
+    model.fit(scheme)
+
+    assert list(model.loci.keys()) == ["Oxf_cpn60", "Oxf_gltA"]
+    assert model.loci["Oxf_cpn60"] == 4
+    assert model.avg_locus_bp_size == [ALLELE_LEN, ALLELE_LEN]
+
+    # query allele 2 of cpn60 directly: argmax is Allele_ID_2 with the
+    # full k-mer count (ALLELE_LEN - K + 1 = 420; the reference pins 401
+    # hits for a 421 bp allele the same way)
+    probe = alleles[("Oxf_cpn60", 2)]
+    result = model.calculate_hits(probe)
+    strain = result[0]["Strain type"]
+    assert strain["Oxf_cpn60"] == {"Allele_ID_2": ALLELE_LEN - K + 1}
+    # short sequence, no N/A, sufficiency met for cpn60
+    assert "Attention:" not in strain
+    all_results = result[1]["All results"]
+    assert all_results["Oxf_cpn60"]["Allele_ID_2"] == ALLELE_LEN - K + 1
+
+
+def test_long_sequence_split_path(tmp_path, scheme_dir, rng):
+    scheme, alleles = scheme_dir
+    model = _make_model(tmp_path)
+    model.fit(scheme)
+
+    # a 20 kb "genome" containing allele 3 of each locus
+    genome = (
+        random_dna(rng, 9000)
+        + alleles[("Oxf_cpn60", 3)]
+        + random_dna(rng, 5000)
+        + alleles[("Oxf_gltA", 3)]
+        + random_dna(rng, 5000)
+    )
+    assert len(genome) >= 10000
+    result = model.calculate_hits(genome)
+    strain = result[0]["Strain type"]
+    assert next(iter(strain["Oxf_cpn60"])) == "Allele_ID_3"
+    assert next(iter(strain["Oxf_gltA"])) == "Allele_ID_3"
+    # chunks holding the allele have well over threshold hits; the total
+    # must be >= a chunk-boundary-split lower bound
+    assert strain["Oxf_cpn60"]["Allele_ID_3"] > 0.5 * (ALLELE_LEN - K + 1)
+
+
+def test_sequence_splitter_counts(tmp_path, scheme_dir):
+    scheme, _ = scheme_dir
+    model = _make_model(tmp_path)
+    seq = "A" * 25000
+    parts = model.sequence_splitter(seq, 450)
+    # chunks overlap by k-1 and cover the sequence
+    assert all(len(p) >= K for p in parts)
+    stitched_len = sum(len(p) for p in parts) - (len(parts) - 1) * (K - 1)
+    assert stitched_len == len(seq)
+    # ~ len / (450 - 30) chunks
+    assert len(parts) == int(np.ceil((25000 - K + 1) / (450 - K + 1)))
+
+
+def test_has_sufficient_score(tmp_path, scheme_dir):
+    scheme, _ = scheme_dir
+    model = _make_model(tmp_path)
+    sizes = [450, 450]
+    assert model.has_sufficient_score(
+        {"a": {"Allele_ID_1": 300}, "b": {"Allele_ID_2": 10}}, sizes
+    )
+    assert not model.has_sufficient_score(
+        {"a": {"Allele_ID_1": 100}, "b": {"Allele_ID_2": 10}}, sizes
+    )
+    assert not model.has_sufficient_score({"a": {}, "b": {}}, sizes)
+
+
+def test_save_load_and_predict(tmp_path, scheme_dir):
+    scheme, alleles = scheme_dir
+    model = _make_model(tmp_path)
+    model.fit(scheme)
+    model.save()
+
+    loaded = ProbabilisticFilterMlstSchemeModel.load(
+        tmp_path / "models" / "abaumannii-oxford-mlst.json"
+    )
+    assert loaded.loci == model.loci
+
+    rec = SeqRecord(alleles[("Oxf_gltA", 1)], id="<unknown id>")
+    result = loaded.predict(rec)
+    d = result.to_dict()
+    assert d["Scheme"] == "Oxford"
+    assert "test" in d["Results"]  # "<unknown id>" renamed to "test"
+    strain = d["Results"]["test"][0]["Strain type"]
+    assert next(iter(strain["Oxf_gltA"])) == "Allele_ID_1"

@@ -1,0 +1,341 @@
+"""MLST (multi-locus sequence typing) scheme model.
+
+One blocked bit-sliced index per locus, one class (column) per allele
+FASTA (doc name = filename up to the first ".", e.g. ``Allele_ID_4``).
+Behavioral contract mirrors the reference
+(reference: src/xspect/models/probabilistic_filter_mlst_model.py):
+
+- defaults fpr=0.001, num_hashes=1, k=31 (from the trainer,
+  reference: src/xspect/train.py:345-363),
+- sequences >= 10,000 bp are split into overlapping chunks (overlap
+  k-1; chunk length = avg allele length x1/x10/x100 by total length),
+  per-chunk results with score > 50 are summed; shorter sequences are
+  queried directly,
+- per locus the argmax allele is kept; a strain type is reliable if at
+  least one locus score >= 0.5 x that locus's average allele length;
+  reliable types are resolved to an ST name via PubMLST.
+
+TPU-native difference: all chunks of a sequence are queried as ONE
+batched device call per locus instead of a Python loop of per-chunk
+index searches.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from xspect2_tpu.core import dna
+from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+from xspect2_tpu.definitions import slugify
+from xspect2_tpu.io.fasta import SeqRecord, get_record_iterator
+from xspect2_tpu.models.filter_model import ProbabilisticFilterModel
+from xspect2_tpu.models.result import MlstResult
+from xspect2_tpu.ops.query import DeviceQueryEngine
+
+CHUNK_SCORE_THRESHOLD = 50
+SPLIT_MIN_LENGTH = 10_000
+
+
+class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
+    """Per-locus allele filter bank for MLST strain typing."""
+
+    def __init__(
+        self,
+        k: int,
+        model_display_name: str,
+        base_path: Path,
+        scheme_url: str,
+        organism: str,
+        fpr: float = 0.001,
+        num_hashes: int = 1,
+        author: str | None = None,
+        author_email: str | None = None,
+        model_type: str = "MLST",
+    ) -> None:
+        super().__init__(
+            k,
+            model_display_name,
+            author,
+            author_email,
+            model_type,
+            base_path,
+            fpr,
+            num_hashes,
+            None,
+        )
+        self.organism = organism
+        self.scheme_url = scheme_url
+        self.loci: dict[str, int] = {}
+        self.avg_locus_bp_size: list[int] = []
+        self.indices: list[BlockedBitSlicedIndex] = []
+        self._engines: list[DeviceQueryEngine] | None = None
+
+    def to_dict(self) -> dict:
+        return super().to_dict() | {
+            "organism": self.organism,
+            "scheme_url": self.scheme_url,
+            "loci": self.loci,
+            "average_locus_base_pair_size": self.avg_locus_bp_size,
+        }
+
+    def slug(self) -> str:
+        return slugify(
+            self.organism + "-" + self.model_display_name + "-" + self.model_type
+        )
+
+    def get_locus_index_path(self, locus: str) -> Path:
+        return self.base_path / self.slug() / f"{locus}.bbsi"
+
+    # ------------------------------------------------------------------ training
+
+    def fit(self, scheme_path: Path) -> None:
+        """Build one index per locus from per-allele FASTA files."""
+        if not scheme_path.exists():
+            raise ValueError(
+                "Scheme not found. Please make sure to download the schemes prior!"
+            )
+
+        for locus_path in sorted(scheme_path.iterdir()):
+            if not locus_path.is_dir():
+                continue
+            locus = locus_path.name
+            allele_files = sorted(
+                p for p in locus_path.iterdir() if p.suffix == ".fasta"
+            )
+            self.loci[locus] = len(allele_files)
+
+            first_record = next(get_record_iterator(allele_files[0]))
+            self.avg_locus_bp_size.append(len(first_record.seq))
+
+            class_names = [p.name.split(".")[0] for p in allele_files]
+            max_kmers = 1
+            allele_codes = []
+            for p in allele_files:
+                codes_parts = [
+                    dna.encode(rec.seq) for rec in get_record_iterator(p)
+                ]
+                n = sum(max(0, len(c) - self.k + 1) for c in codes_parts)
+                max_kmers = max(max_kmers, n)
+                allele_codes.append(codes_parts)
+
+            index = BlockedBitSlicedIndex.create(
+                self.k,
+                class_names,
+                max_kmers,
+                fpr=self.fpr,
+                num_hashes=self.num_hashes,
+            )
+            for ci, codes_parts in enumerate(allele_codes):
+                for codes in codes_parts:
+                    hi, lo, valid = dna.canonical_kmers(codes, self.k)
+                    index.insert_kmers(ci, hi, lo, valid)
+            index.save(self.get_locus_index_path(locus))
+            self.indices.append(index)
+        self._engines = None
+
+    # ------------------------------------------------------------------ persistence
+
+    def save(self) -> None:
+        json_path = self.base_path / f"{self.slug()}.json"
+        json_path.write_text(json.dumps(self.to_dict(), indent=4), encoding="utf-8")
+
+    @classmethod
+    def load(cls, path: Path) -> "ProbabilisticFilterMlstSchemeModel":
+        if not Path(path).exists():
+            raise FileNotFoundError(f"Model JSON not found at {path}")
+        model_json = json.loads(Path(path).read_text(encoding="utf-8"))
+        model = cls(
+            model_json["k"],
+            model_json["model_display_name"],
+            Path(path).parent,
+            model_json["scheme_url"],
+            model_json["organism"],
+            model_json["fpr"],
+            model_json["num_hashes"],
+            model_json.get("author"),
+            model_json.get("author_email"),
+            model_json.get("model_type"),
+        )
+        model.avg_locus_bp_size = model_json.get("average_locus_base_pair_size", [])
+        model.loci = model_json.get("loci", {})
+        for locus in model.loci:
+            index_path = model.get_locus_index_path(locus)
+            if not index_path.exists():
+                raise FileNotFoundError(f"Index file not found at {index_path}")
+            model.indices.append(BlockedBitSlicedIndex.load(index_path))
+        return model
+
+    # ------------------------------------------------------------------ inference
+
+    @property
+    def engines(self) -> list[DeviceQueryEngine]:
+        if self._engines is None:
+            if not self.indices:
+                raise ValueError("The model has not been trained yet")
+            self._engines = [DeviceQueryEngine(idx) for idx in self.indices]
+        return self._engines
+
+    def _locus_counts(
+        self, engine: DeviceQueryEngine, pieces: list[str], step: int
+    ) -> np.ndarray:
+        """Batched per-piece hit counts against one locus index: [n_pieces, C]."""
+        records = [(f"piece{i}", dna.encode(p)) for i, p in enumerate(pieces)]
+        return engine.count_hits_records(records, step=step)
+
+    def calculate_hits(
+        self,
+        sequence: str,
+        step: int = 1,
+        limit: bool = False,
+        limit_number: int = 5,
+    ) -> list[dict]:
+        """Per-locus allele scores and the argmax strain type."""
+        if isinstance(sequence, SeqRecord):
+            sequence = sequence.seq
+        if not isinstance(sequence, str):
+            raise ValueError("Invalid sequence, must be a string")
+        if not len(sequence) > self.k:
+            raise ValueError("Invalid sequence, must be longer than k")
+        if not self.indices:
+            raise ValueError("The model has not been trained yet")
+
+        loci_names = list(self.loci.keys())
+        result_dict: dict | str = {}
+        highest_results: dict = {}
+        any_locus_empty = False
+
+        use_split = len(sequence) >= SPLIT_MIN_LENGTH
+        for li, engine in enumerate(self.engines):
+            names = self.indices[li].class_names
+            if use_split:
+                allele_len = self.avg_locus_bp_size[li]
+                pieces = self.sequence_splitter(sequence, allele_len)
+                counts = self._locus_counts(engine, pieces, step)
+                # per-chunk threshold, then sum over chunks
+                counts = np.where(counts > CHUNK_SCORE_THRESHOLD, counts, 0)
+                totals = counts.sum(axis=0)
+                order = sorted(
+                    (i for i in range(len(names)) if totals[i] > 0),
+                    key=lambda i: (-int(totals[i]), names[i]),
+                )
+                sorted_counts = {names[i]: int(totals[i]) for i in order}
+                if limit:
+                    sorted_counts = dict(list(sorted_counts.items())[:limit_number])
+                if not sorted_counts:
+                    any_locus_empty = True
+                    highest_results[loci_names[li]] = {"N/A": 0}
+                else:
+                    first_key = next(iter(sorted_counts))
+                    result_dict[loci_names[li]] = sorted_counts
+                    highest_results[loci_names[li]] = {
+                        first_key: sorted_counts[first_key]
+                    }
+            else:
+                counts = self._locus_counts(engine, [sequence], step)[0]
+                order = sorted(
+                    range(len(names)), key=lambda i: (-int(counts[i]), names[i])
+                )
+                result = {names[i]: int(counts[i]) for i in order}
+                if limit:
+                    result = dict(list(result.items())[:limit_number])
+                result_dict[loci_names[li]] = result
+                first_key = next(iter(result))
+                highest_results[loci_names[li]] = {first_key: result[first_key]}
+
+        if any_locus_empty and not result_dict:
+            result_dict = (
+                "A Strain type could not be detected because of no kmer matches!"
+            )
+
+        is_valid = self.has_sufficient_score(highest_results, self.avg_locus_bp_size)
+        if not is_valid:
+            highest_results["Attention:"] = (
+                "This strain type is not reliable due to low kmer hit rates!"
+            )
+        else:
+            highest_results["ST_Name"] = self._resolve_strain_type(highest_results)
+        return [{"Strain type": highest_results}, {"All results": result_dict}]
+
+    def _resolve_strain_type(self, highest_results: dict) -> str:
+        """Resolve the ST name via PubMLST (network); graceful offline fallback."""
+        try:
+            from xspect2_tpu.handlers.pubmlst import PubMLSTHandler
+
+            flattened = {
+                locus: int(next(iter(allele_id)).split("_")[-1])
+                for locus, allele_id in highest_results.items()
+                if isinstance(allele_id, dict)
+            }
+            return PubMLSTHandler().get_strain_type_name(flattened, self.scheme_url)
+        except Exception as exc:  # noqa: BLE001 - network/availability errors
+            return f"N/A (PubMLST lookup failed: {exc})"
+
+    def predict(
+        self,
+        sequence_input,
+        step: int = 1,
+        limit: bool = False,
+    ) -> MlstResult:
+        if isinstance(sequence_input, SeqRecord):
+            if sequence_input.id == "<unknown id>":
+                sequence_input.id = "test"
+            hits = {
+                sequence_input.id: self.calculate_hits(
+                    sequence_input.seq, step, limit
+                )
+            }
+            return MlstResult(self.model_display_name, step, hits, None)
+
+        if isinstance(sequence_input, Path):
+            return self.predict(
+                get_record_iterator(sequence_input), step=step, limit=limit
+            )
+
+        if hasattr(sequence_input, "__iter__"):
+            hits = {}
+            for record in sequence_input:
+                hits[record.id] = self.calculate_hits(record.seq, step, limit)
+            return MlstResult(self.model_display_name, step, hits, None)
+
+        raise ValueError(
+            "Invalid sequence input, must be a SeqRecord, a record iterator, "
+            "or a Path object to a fasta/fastq file"
+        )
+
+    # ------------------------------------------------------------------ helpers
+
+    def sequence_splitter(self, input_sequence: str, allele_len: int) -> list[str]:
+        """Split a long sequence into k-1-overlapping chunks sized by allele length."""
+        sequence_len = len(input_sequence)
+        if sequence_len < 1_000_000:
+            substring_length = allele_len
+        elif sequence_len < 10_000_000:
+            substring_length = allele_len * 10
+        else:
+            substring_length = allele_len * 100
+
+        substring_list = []
+        start = 0
+        while start + substring_length <= sequence_len:
+            substring_list.append(input_sequence[start : start + substring_length])
+            start += substring_length - self.k + 1
+        if start < sequence_len:
+            remaining = input_sequence[start:]
+            if len(remaining) < self.k:
+                substring_list[-1] += remaining
+            else:
+                substring_list.append(remaining)
+        return substring_list
+
+    def has_sufficient_score(
+        self, highest_results: dict, locus_size: list[int]
+    ) -> bool:
+        """True if any locus argmax score >= 0.5 x its average allele length."""
+        for i, allele_score_dict in enumerate(highest_results.values()):
+            if not allele_score_dict:
+                continue
+            score = next(iter(allele_score_dict.values()))
+            if score >= 0.5 * locus_size[i]:
+                return True
+        return False

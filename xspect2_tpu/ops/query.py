@@ -20,10 +20,19 @@ are encoded in the host-prepared validity mask.
 """
 
 import math
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
 import jax
+
+# Optional backend override (e.g. XSPECT_JAX_PLATFORM=cpu for host-only
+# runs).  Needed because some TPU plugins force-override JAX_PLATFORMS;
+# config.update after import takes precedence.
+_platform = os.environ.get("XSPECT_JAX_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -31,8 +40,10 @@ from jax import lax
 from xspect2_tpu.core import hashing
 from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
 
-DEFAULT_CHUNK = 1 << 16  # k-mer positions per scan step
-DEFAULT_MAX_BATCH_BASES = 1 << 23  # ~8M bases per device batch
+# k-mer positions per scan step / bases per device batch (env-tunable:
+# tests use small chunks to keep CPU jit compiles fast)
+DEFAULT_CHUNK = int(os.environ.get("XSPECT_QUERY_CHUNK", 1 << 16))
+DEFAULT_MAX_BATCH_BASES = int(os.environ.get("XSPECT_MAX_BATCH_BASES", 1 << 23))
 
 
 def _next_pow2(n: int) -> int:
@@ -112,7 +123,6 @@ def prepare_batch(records, k: int, step: int = 1, chunk: int = DEFAULT_CHUNK):
         "rows_per_block",
         "class_words",
         "num_classes",
-        "num_blocks",
         "chunk",
         "num_chunks",
         "max_records",
@@ -123,13 +133,13 @@ def query_hits_device(
     codes,
     rec_ids,
     valid,
+    num_blocks,
     *,
     k: int,
     num_hashes: int,
     rows_per_block: int,
     class_words: int,
     num_classes: int,
-    num_blocks: int,
     chunk: int,
     num_chunks: int,
     max_records: int,
@@ -225,12 +235,12 @@ class DeviceQueryEngine:
             jnp.asarray(batch.codes),
             jnp.asarray(batch.rec_ids),
             jnp.asarray(batch.valid),
+            jnp.uint32(idx.num_blocks),
             k=idx.k,
             num_hashes=idx.num_hashes,
             rows_per_block=idx.rows_per_block,
             class_words=idx.class_words,
             num_classes=idx.num_classes,
-            num_blocks=idx.num_blocks,
             chunk=self.chunk,
             num_chunks=num_chunks,
             max_records=max_records,
