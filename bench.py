@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Benchmark: species-classification read throughput on the device index.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N}
+
+Workload (configs 1/2/4 of BASELINE.json): 150 bp reads batched through a
+multi-species blocked bit-sliced filter index (k=21, fpr=0.01, 7 hashes),
+per-read hit counting and per-read argmax classification — the reference's
+``xspect classify species`` hot loop (reference:
+src/xspect/models/probabilistic_filter_model.py:196-235, COBS search per
+record) re-expressed as a batched accelerator op.
+
+``vs_baseline`` compares against a single-core CPU implementation of the
+same index query (vectorized numpy membership path — an optimistic stand-
+in for the reference's COBS C++ single-thread search; the real reference
+additionally pays per-record Python overhead).  The reference publishes
+no throughput numbers (BASELINE.md), so the CPU path measured here is the
+in-environment baseline.
+
+Usage: python bench.py [--quick] [--classes N] [--genome-mb M]
+                       [--reads N] [--json-only]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+CACHE_DIR = Path(__file__).resolve().parent / ".bench_cache"
+READ_LEN = 150
+K = 21
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_or_load_index(num_classes: int, genome_mb: float, seed: int = 42):
+    """Synthetic multi-species index + genomes (disk-cached)."""
+    from xspect2_tpu.core import dna
+    from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+
+    tag = f"c{num_classes}_m{genome_mb}_s{seed}"
+    idx_dir = CACHE_DIR / f"index_{tag}"
+    genomes_path = CACHE_DIR / f"genomes_{tag}.npy"
+    genome_len = int(genome_mb * 1e6)
+
+    if idx_dir.exists() and genomes_path.exists():
+        log(f"loading cached index {idx_dir}")
+        return BlockedBitSlicedIndex.load(idx_dir), np.load(genomes_path)
+
+    log(f"building index: {num_classes} classes x {genome_len} bp ...")
+    rng = np.random.default_rng(seed)
+    genomes = rng.integers(0, 4, size=(num_classes, genome_len), dtype=np.uint8)
+    index = BlockedBitSlicedIndex.create(
+        K,
+        [f"{1000 + i}" for i in range(num_classes)],
+        genome_len - K + 1,
+        fpr=0.01,
+        num_hashes=7,
+    )
+    t0 = time.time()
+    for ci in range(num_classes):
+        hi, lo, valid = dna.canonical_kmers(genomes[ci], K)
+        index.insert_kmers(ci, hi, lo, valid)
+        log(f"  class {ci + 1}/{num_classes} inserted ({time.time() - t0:.0f}s)")
+    CACHE_DIR.mkdir(exist_ok=True)
+    index.save(idx_dir)
+    np.save(genomes_path, genomes)
+    log(f"index built in {time.time() - t0:.0f}s, {index.nbytes / 1e6:.0f} MB")
+    return index, genomes
+
+
+def simulate_reads(genomes: np.ndarray, num_reads: int, seed: int = 7):
+    """Vectorized sampling of 150bp reads (random class/position/strand)."""
+    rng = np.random.default_rng(seed)
+    num_classes, genome_len = genomes.shape
+    cls = rng.integers(0, num_classes, size=num_reads)
+    pos = rng.integers(0, genome_len - READ_LEN, size=num_reads)
+    idx = pos[:, None] + np.arange(READ_LEN)[None, :]
+    reads = genomes[cls[:, None], idx]
+    # half the reads on the reverse strand
+    rc = rng.random(num_reads) < 0.5
+    reads[rc] = 3 - reads[rc, ::-1]
+    return reads.astype(np.uint8), cls
+
+
+def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
+    """Steady-state device throughput over pipelined read batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from xspect2_tpu.ops.query import DeviceQueryEngine
+
+    engine = DeviceQueryEngine(index)
+    num_reads = len(reads)
+    batch_reads = -(-batch_reads // reads_per_chunk) * reads_per_chunk
+    batches = [
+        reads[i : i + batch_reads]
+        for i in range(0, num_reads, batch_reads)
+        if i + batch_reads <= num_reads  # equal-size batches only
+    ]
+    log(
+        f"{len(batches)} batches of {batch_reads} reads "
+        f"(reads_per_chunk={reads_per_chunk})"
+    )
+
+    t0 = time.time()
+    out = engine.count_hits_reads(
+        batches[0], reads_per_chunk=reads_per_chunk, block=False
+    )
+    jax.block_until_ready(out)
+    log(f"warmup (compile) {time.time() - t0:.1f}s")
+
+    # end-to-end: host handoff + transfer + compute, batches pipelined
+    # asynchronously (dispatch all, argmax on device, sync once)
+    t0 = time.time()
+    pred_parts = []
+    for b in batches:
+        hits_dev = engine.count_hits_reads(
+            b, reads_per_chunk=reads_per_chunk, block=False
+        )
+        pred_parts.append(jnp.argmax(hits_dev, axis=1))
+    jax.block_until_ready(pred_parts)
+    e2e_s = time.time() - t0
+    total_reads = sum(len(b) for b in batches)
+    e2e_rps = total_reads / e2e_s
+
+    # device-only: input resident on device, repeated dispatch
+    b_dev = jnp.asarray(batches[0])
+    jax.block_until_ready(b_dev)
+    n_iter = 5
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = engine.count_hits_reads(
+            np.asarray(batches[0]), reads_per_chunk=reads_per_chunk, block=False
+        )
+    jax.block_until_ready(out)
+    dev_s = (time.time() - t0) / n_iter
+    dev_rps = batch_reads / dev_s
+
+    kmers_per_read = READ_LEN - K + 1
+    log(
+        f"end-to-end: {e2e_rps:,.0f} reads/s "
+        f"({e2e_rps * kmers_per_read * index.num_hashes / 1e9:.2f} G probe-lookups/s)"
+    )
+    log(f"device-only (single batch redispatch): {dev_rps:,.0f} reads/s")
+    preds = np.concatenate([np.asarray(p) for p in pred_parts])
+    return e2e_rps, dev_rps, preds
+
+
+def bench_cpu_baseline(index, reads, sample=512):
+    """Single-core numpy implementation of the same query (baseline proxy)."""
+    from xspect2_tpu.core import dna
+
+    sample_reads = reads[:sample]
+    t0 = time.time()
+    for row in sample_reads:
+        hi, lo, valid = dna.canonical_kmers(row, K)
+        index.count_hits_host(hi, lo, valid)
+    cpu_s = time.time() - t0
+    rps = sample / cpu_s
+    log(f"cpu baseline ({sample} reads): {rps:,.0f} reads/s")
+    return rps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--genome-mb", type=float, default=4.0)
+    ap.add_argument("--reads", type=int, default=400_000)
+    ap.add_argument("--batch-reads", type=int, default=100_000)
+    ap.add_argument("--quick", action="store_true", help="small sizes for smoke test")
+    ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.classes, args.genome_mb = 4, 0.5
+        args.reads, args.batch_reads = 20_000, 10_000
+
+    import jax
+
+    if args.platform:
+        # must happen before any backend use (the environment's TPU plugin
+        # force-overrides JAX_PLATFORMS, so env vars are not enough)
+        jax.config.update("jax_platforms", args.platform)
+
+    index, genomes = build_or_load_index(args.classes, args.genome_mb)
+    reads, true_cls = simulate_reads(genomes, args.reads)
+
+    log(f"devices: {jax.devices()}")
+    e2e_rps, dev_rps, preds = bench_device(index, reads, args.batch_reads)
+    n_eval = min(len(preds), len(true_cls))
+    acc = float((preds[:n_eval] == true_cls[:n_eval]).mean())
+    log(f"argmax accuracy vs source genome: {acc:.4f}")
+
+    cpu_rps = bench_cpu_baseline(index, reads)
+
+    print(
+        json.dumps(
+            {
+                "metric": "reads/sec/chip (species classification, 150bp reads)",
+                "value": round(e2e_rps),
+                "unit": "reads/s",
+                "vs_baseline": round(e2e_rps / cpu_rps, 1),
+                "extra": {
+                    "device_only_reads_per_s": round(dev_rps),
+                    "cpu_1core_reads_per_s": round(cpu_rps),
+                    "argmax_accuracy": round(acc, 4),
+                    "classes": args.classes,
+                    "genome_mb": args.genome_mb,
+                    "index_mb": round(index.nbytes / 1e6, 1),
+                    "kmer_lookups_per_s": round(
+                        e2e_rps * (READ_LEN - K + 1)
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,45 @@ def prepare_batch(records, k: int, step: int = 1, chunk: int = DEFAULT_CHUNK):
     return PreparedBatch(codes_pad, rec_ids_pad, valid_pad, names, num_kmers)
 
 
+def prepare_fixed_batch(
+    codes_matrix: np.ndarray, k: int, step: int = 1, chunk: int = DEFAULT_CHUNK
+) -> PreparedBatch:
+    """Vectorized batch prep for N equal-length reads (shape [N, L]).
+
+    Same semantics as :func:`prepare_batch` but built with broadcasting —
+    used by the high-throughput read-streaming path where per-record
+    Python loops would dominate.
+    """
+    from xspect2_tpu.core.dna import INVALID
+
+    n, length = codes_matrix.shape
+    if not length > k:
+        raise ValueError("Invalid sequence, must be longer than k")
+    nk = length - k + 1
+    num_kmers = math.ceil(nk / step)
+
+    n_pos = n * length
+    num_chunks = _next_pow2(max(1, -(-n_pos // chunk)))
+    n_pad = num_chunks * chunk
+
+    codes = np.full(n_pad + k - 1, INVALID, dtype=np.uint8)
+    codes[:n_pos] = codes_matrix.reshape(-1)
+    rec_ids = np.zeros(n_pad, dtype=np.int32)
+    rec_ids[:n_pos] = np.repeat(np.arange(n, dtype=np.int32), length)
+    valid_row = np.zeros(length, dtype=bool)
+    valid_row[0:nk:step] = True
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n_pos] = np.broadcast_to(valid_row, (n, length)).reshape(-1)
+
+    return PreparedBatch(
+        codes,
+        rec_ids,
+        valid,
+        [f"read{i}" for i in range(n)],
+        [num_kmers] * n,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -145,6 +184,36 @@ def query_hits_device(
     max_records: int,
 ):
     """Per-record, per-class hit counts: returns int32 [max_records, num_classes]."""
+    return make_query_body(
+        k=k,
+        num_hashes=num_hashes,
+        rows_per_block=rows_per_block,
+        class_words=class_words,
+        num_classes=num_classes,
+        chunk=chunk,
+        num_chunks=num_chunks,
+        max_records=max_records,
+    )(table2d, codes, rec_ids, valid, num_blocks)
+
+
+def make_query_body(
+    *,
+    k: int,
+    num_hashes: int,
+    rows_per_block: int,
+    class_words: int,
+    num_classes: int,
+    chunk: int,
+    num_chunks: int,
+    max_records: int,
+):
+    """Build the pure traceable query function for the given static geometry.
+
+    The returned function maps ``(table2d, codes, rec_ids, valid,
+    num_blocks) -> int32[max_records, num_classes]`` and is reused both by
+    the single-device jit above and by the sharded SPMD path
+    (:mod:`xspect2_tpu.parallel`) inside ``shard_map``.
+    """
     lo_bases = min(k, 16)
     hi_bases = k - lo_bases
 
@@ -152,24 +221,137 @@ def query_hits_device(
     word_idx = jnp.asarray((cls // 32).astype(np.int32))
     bit_idx = jnp.asarray((cls % 32).astype(np.uint32))
 
-    def body(acc, i):
-        start = i * chunk
-        cchunk = lax.dynamic_slice(codes, (start,), (chunk + k - 1,)).astype(
-            jnp.uint32
-        )
-        rec_chunk = lax.dynamic_slice(rec_ids, (start,), (chunk,))
-        valid_chunk = lax.dynamic_slice(valid, (start,), (chunk,))
+    def query_body(table2d, codes, rec_ids, valid, num_blocks):
+        def body(acc, i):
+            start = i * chunk
+            cchunk = lax.dynamic_slice(codes, (start,), (chunk + k - 1,)).astype(
+                jnp.uint32
+            )
+            rec_chunk = lax.dynamic_slice(rec_ids, (start,), (chunk,))
+            valid_chunk = lax.dynamic_slice(valid, (start,), (chunk,))
+
+            zero = jnp.uint32(0)
+            f_hi = jnp.zeros((chunk,), jnp.uint32)
+            f_lo = jnp.zeros((chunk,), jnp.uint32)
+            r_hi = jnp.zeros((chunk,), jnp.uint32)
+            r_lo = jnp.zeros((chunk,), jnp.uint32)
+            bad = jnp.zeros((chunk,), bool)
+
+            # forward packing: hi = first hi_bases, lo = last lo_bases
+            for j in range(k):
+                c = cchunk[j : j + chunk]
+                cb = c > 3
+                bad = bad | cb
+                cm = jnp.where(cb, zero, c)
+                if j < hi_bases:
+                    f_hi = (f_hi << jnp.uint32(2)) | cm
+                else:
+                    f_lo = (f_lo << jnp.uint32(2)) | cm
+            # reverse-complement packing: base t of rc-kmer is comp(code[k-1-t])
+            for t in range(k):
+                c = cchunk[k - 1 - t : k - 1 - t + chunk]
+                cm = jnp.where(c > 3, zero, jnp.uint32(3) - c)
+                if t < hi_bases:
+                    r_hi = (r_hi << jnp.uint32(2)) | cm
+                else:
+                    r_lo = (r_lo << jnp.uint32(2)) | cm
+
+            fwd_le = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+            hi = jnp.where(fwd_le, f_hi, r_hi)
+            lo = jnp.where(fwd_le, f_lo, r_lo)
+
+            block, rows = hashing.block_and_rows(
+                hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
+            )
+
+            blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
+            blk3 = blk.reshape(chunk, rows_per_block, class_words)
+            sel = jnp.take_along_axis(
+                blk3, rows.astype(jnp.int32)[:, :, None], axis=1
+            )
+            anded = sel[:, 0, :]
+            for h in range(1, num_hashes):
+                anded = anded & sel[:, h, :]
+
+            bits = (
+                jnp.take(anded, word_idx, axis=1) >> bit_idx[None, :]
+            ) & jnp.uint32(1)
+            mask = valid_chunk & (~bad)
+            bits = bits.astype(jnp.int32) * mask[:, None].astype(jnp.int32)
+
+            seg = jax.ops.segment_sum(
+                bits, rec_chunk, num_segments=max_records, indices_are_sorted=True
+            )
+            return acc + seg, None
+
+        acc0 = jnp.zeros((max_records, num_classes), jnp.int32)
+        acc, _ = lax.scan(body, acc0, jnp.arange(num_chunks))
+        return acc
+
+    return query_body
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "num_hashes",
+        "rows_per_block",
+        "class_words",
+        "num_classes",
+        "step",
+        "reads_per_chunk",
+    ),
+)
+def query_reads_device(
+    table2d,
+    reads,
+    num_blocks,
+    *,
+    k: int,
+    num_hashes: int,
+    rows_per_block: int,
+    class_words: int,
+    num_classes: int,
+    step: int = 1,
+    reads_per_chunk: int = 4096,
+):
+    """Uniform-read fast path: [N, L] uint8 reads -> int32 [N, num_classes].
+
+    Used by the high-throughput FASTQ streaming path (BASELINE.json
+    config 4): no per-position record-id/validity tensors, no
+    segment-sum — windows live within one read, so the per-read
+    reduction is a plain axis sum.  N must be a multiple of
+    ``reads_per_chunk``.
+    """
+    n, read_len = reads.shape
+    nk = read_len - k + 1
+    num_chunks = n // reads_per_chunk
+    lo_bases = min(k, 16)
+    hi_bases = k - lo_bases
+
+    cls = np.arange(num_classes)
+    word_idx = jnp.asarray((cls // 32).astype(np.int32))
+    bit_idx = jnp.asarray((cls % 32).astype(np.uint32))
+    step_mask = jnp.asarray(
+        (np.arange(nk) % step == 0).astype(np.int32)
+    )
+
+    def chunk_fn(_, i):
+        r = lax.dynamic_slice(
+            reads, (i * reads_per_chunk, 0), (reads_per_chunk, read_len)
+        ).astype(jnp.uint32)
 
         zero = jnp.uint32(0)
-        f_hi = jnp.zeros((chunk,), jnp.uint32)
-        f_lo = jnp.zeros((chunk,), jnp.uint32)
-        r_hi = jnp.zeros((chunk,), jnp.uint32)
-        r_lo = jnp.zeros((chunk,), jnp.uint32)
-        bad = jnp.zeros((chunk,), bool)
+        shape = (reads_per_chunk, nk)
+        f_hi = jnp.zeros(shape, jnp.uint32)
+        f_lo = jnp.zeros(shape, jnp.uint32)
+        r_hi = jnp.zeros(shape, jnp.uint32)
+        r_lo = jnp.zeros(shape, jnp.uint32)
+        bad = jnp.zeros(shape, bool)
 
-        # forward packing: hi = first hi_bases, lo = last lo_bases
         for j in range(k):
-            c = cchunk[j : j + chunk]
+            c = r[:, j : j + nk]
             cb = c > 3
             bad = bad | cb
             cm = jnp.where(cb, zero, c)
@@ -177,9 +359,8 @@ def query_hits_device(
                 f_hi = (f_hi << jnp.uint32(2)) | cm
             else:
                 f_lo = (f_lo << jnp.uint32(2)) | cm
-        # reverse-complement packing: base t of rc-kmer is comp(code[k-1-t])
         for t in range(k):
-            c = cchunk[k - 1 - t : k - 1 - t + chunk]
+            c = r[:, k - 1 - t : k - 1 - t + nk]
             cm = jnp.where(c > 3, zero, jnp.uint32(3) - c)
             if t < hi_bases:
                 r_hi = (r_hi << jnp.uint32(2)) | cm
@@ -187,32 +368,32 @@ def query_hits_device(
                 r_lo = (r_lo << jnp.uint32(2)) | cm
 
         fwd_le = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-        hi = jnp.where(fwd_le, f_hi, r_hi)
-        lo = jnp.where(fwd_le, f_lo, r_lo)
+        hi = jnp.where(fwd_le, f_hi, r_hi).reshape(-1)
+        lo = jnp.where(fwd_le, f_lo, r_lo).reshape(-1)
 
         block, rows = hashing.block_and_rows(
             hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
         )
-
-        blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
-        blk3 = blk.reshape(chunk, rows_per_block, class_words)
-        sel = jnp.take_along_axis(blk3, rows.astype(jnp.int32)[:, :, None], axis=1)
+        blk3 = jnp.take(table2d, block.astype(jnp.int32), axis=0).reshape(
+            -1, rows_per_block, class_words
+        )
+        sel = jnp.take_along_axis(
+            blk3, rows.astype(jnp.int32)[:, :, None], axis=1
+        )
         anded = sel[:, 0, :]
         for h in range(1, num_hashes):
             anded = anded & sel[:, h, :]
 
-        bits = (jnp.take(anded, word_idx, axis=1) >> bit_idx[None, :]) & jnp.uint32(1)
-        mask = valid_chunk & (~bad)
-        bits = bits.astype(jnp.int32) * mask[:, None].astype(jnp.int32)
+        bits = (
+            jnp.take(anded, word_idx, axis=1) >> bit_idx[None, :]
+        ) & jnp.uint32(1)
+        mask = (~bad).astype(jnp.int32) * step_mask[None, :]  # [rpc, nk]
+        bits = bits.astype(jnp.int32) * mask.reshape(-1, 1)
+        hits = bits.reshape(reads_per_chunk, nk, num_classes).sum(axis=1)
+        return None, hits
 
-        seg = jax.ops.segment_sum(
-            bits, rec_chunk, num_segments=max_records, indices_are_sorted=True
-        )
-        return acc + seg, None
-
-    acc0 = jnp.zeros((max_records, num_classes), jnp.int32)
-    acc, _ = lax.scan(body, acc0, jnp.arange(num_chunks))
-    return acc
+    _, hits = lax.scan(chunk_fn, None, jnp.arange(num_chunks))
+    return hits.reshape(n, num_classes)
 
 
 class DeviceQueryEngine:
@@ -251,3 +432,40 @@ class DeviceQueryEngine:
         """Convenience: records = list of (name, codes) -> [n_records, C] hits."""
         batch = prepare_batch(records, self.index.k, step=step, chunk=self.chunk)
         return self.count_hits(batch)
+
+    def count_hits_reads(
+        self,
+        reads: np.ndarray,
+        step: int = 1,
+        reads_per_chunk: int = 4096,
+        block: bool = True,
+    ):
+        """Uniform-read fast path: [N, L] uint8 code matrix -> [N, C] hits.
+
+        With ``block=False`` the (possibly padded-to-chunk) device array
+        is returned without synchronizing, so callers can pipeline many
+        batches and pay the dispatch latency once.
+        """
+        idx = self.index
+        n = len(reads)
+        n_pad = -(-n // reads_per_chunk) * reads_per_chunk
+        if n_pad != n:
+            pad = np.full(
+                (n_pad - n, reads.shape[1]), 255, dtype=np.uint8
+            )
+            reads = np.concatenate([reads, pad])
+        out = query_reads_device(
+            self.table,
+            jnp.asarray(reads),
+            jnp.uint32(idx.num_blocks),
+            k=idx.k,
+            num_hashes=idx.num_hashes,
+            rows_per_block=idx.rows_per_block,
+            class_words=idx.class_words,
+            num_classes=idx.num_classes,
+            step=step,
+            reads_per_chunk=reads_per_chunk,
+        )
+        if not block:
+            return out
+        return np.asarray(out)[:n].astype(np.int64)

@@ -1,0 +1,237 @@
+"""Sharded SPMD classification step.
+
+One jitted program runs the full species-classification step over a
+(data x cls) mesh:
+
+1. each (data, cls) shard hit-counts its read positions against its
+   class word-columns of the index (reusing the single-chip query body),
+2. per-record hit vectors are completed with ``all_gather`` over the
+   cls axis (ICI),
+3. file-level totals are reduced with ``psum`` over the data axis,
+4. the SVM head scores the total score vector in-program.
+
+This is the TPU re-expression of the reference's scale-out surface
+(Nextflow process fan-out + single-process COBS index ownership,
+reference: scripts/benchmark/classify/main.nf, SURVEY §2.4).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+from xspect2_tpu.models.svm_head import JaxSVMHead
+from xspect2_tpu.ops.query import (
+    DEFAULT_CHUNK,
+    PreparedBatch,
+    _next_pow2,
+    make_query_body,
+    prepare_batch,
+)
+from xspect2_tpu.parallel.mesh import CLS_AXIS, DATA_AXIS
+
+
+def _round2(x):
+    """round-half-even to 2 decimals (matches the reference's Python round)."""
+    return jnp.round(x * 100.0) / 100.0
+
+
+class ShardedClassifier:
+    """Runs the classification step over a (data, cls) device mesh."""
+
+    def __init__(
+        self,
+        index: BlockedBitSlicedIndex,
+        mesh,
+        svm_head: JaxSVMHead | None = None,
+        chunk: int = DEFAULT_CHUNK,
+    ):
+        self.index = index
+        self.mesh = mesh
+        self.svm_head = svm_head
+        self.chunk = chunk
+        self.n_data = mesh.shape[DATA_AXIS]
+        self.n_cls = mesh.shape[CLS_AXIS]
+
+        # pad class words to a multiple of the cls-axis size; padding
+        # word-columns are all-zero (their classes never hit)
+        cw = index.class_words
+        self.cw_pad = math.ceil(cw / self.n_cls) * self.n_cls
+        self.cw_local = self.cw_pad // self.n_cls
+
+        table3 = index.table.reshape(
+            index.num_blocks, index.rows_per_block, cw
+        )
+        if self.cw_pad != cw:
+            pad = np.zeros(
+                (index.num_blocks, index.rows_per_block, self.cw_pad - cw),
+                dtype=np.uint32,
+            )
+            table3 = np.concatenate([table3, pad], axis=2)
+
+        self.table_sharding = NamedSharding(mesh, P(None, None, CLS_AXIS))
+        self.table3 = jax.device_put(table3, self.table_sharding)
+        self._step_cache: dict = {}
+
+    # ------------------------------------------------------------------ host-side batching
+
+    def prepare_shard_batches(self, records, step: int = 1):
+        """Split (name, codes) records across data shards; returns stacked
+        arrays [D, ...] plus per-shard record names.
+
+        Records are assigned round-robin by cumulative length so shards
+        are base-balanced; all shards are padded to common shapes.
+        """
+        shards: list[list] = [[] for _ in range(self.n_data)]
+        loads = [0] * self.n_data
+        for rec in records:
+            target = loads.index(min(loads))
+            shards[target].append(rec)
+            loads[target] += len(rec[1])
+
+        batches = []
+        for shard_records in shards:
+            if shard_records:
+                batches.append(
+                    prepare_batch(shard_records, self.index.k, step, self.chunk)
+                )
+            else:
+                batches.append(
+                    PreparedBatch(
+                        np.full(self.chunk + self.index.k - 1, 255, np.uint8),
+                        np.zeros(self.chunk, np.int32),
+                        np.zeros(self.chunk, bool),
+                    )
+                )
+
+        n_pos = max(b.num_positions for b in batches)
+        max_records = _next_pow2(
+            max(8, max(b.num_records for b in batches) or 1)
+        )
+        k = self.index.k
+
+        codes = np.full((self.n_data, n_pos + k - 1), 255, dtype=np.uint8)
+        rec_ids = np.zeros((self.n_data, n_pos), dtype=np.int32)
+        valid = np.zeros((self.n_data, n_pos), dtype=bool)
+        num_kmers = np.zeros((self.n_data, max_records), dtype=np.int32)
+        for d, b in enumerate(batches):
+            codes[d, : len(b.codes)] = b.codes
+            rec_ids[d, : b.num_positions] = b.rec_ids
+            valid[d, : b.num_positions] = b.valid
+            for i, nk in enumerate(b.num_kmers):
+                num_kmers[d, i] = nk
+        names = [b.record_names for b in batches]
+        return codes, rec_ids, valid, num_kmers, names
+
+    # ------------------------------------------------------------------ SPMD step
+
+    def _build_step(self, num_chunks: int, max_records: int):
+        idx = self.index
+        cw_local = self.cw_local
+        num_classes_local = 32 * cw_local
+        qb = make_query_body(
+            k=idx.k,
+            num_hashes=idx.num_hashes,
+            rows_per_block=idx.rows_per_block,
+            class_words=cw_local,
+            num_classes=num_classes_local,
+            chunk=self.chunk,
+            num_chunks=num_chunks,
+            max_records=max_records,
+        )
+        head = self.svm_head
+        num_real_classes = idx.num_classes
+
+        def shard_fn(table3_l, codes_l, rec_l, valid_l, num_kmers_l, num_blocks):
+            table2d_l = table3_l.reshape(table3_l.shape[0], -1)
+            hits_l = jax.vmap(
+                lambda c, r, v: qb(table2d_l, c, r, v, num_blocks)
+            )(codes_l, rec_l, valid_l)
+            # complete per-record vectors across class shards (ICI all-gather)
+            hits_full = jax.lax.all_gather(hits_l, CLS_AXIS, axis=2, tiled=True)
+
+            # file-level totals across data shards (psum)
+            total_hits = jax.lax.psum(
+                hits_full.sum(axis=(0, 1)), DATA_AXIS
+            )
+            total_kmers = jax.lax.psum(num_kmers_l.sum(), DATA_AXIS)
+            total_scores = _round2(
+                total_hits.astype(jnp.float32)
+                / jnp.maximum(total_kmers, 1).astype(jnp.float32)
+            )
+
+            if head is not None:
+                x = total_scores[None, :num_real_classes]
+                pred = head.predict_indices(x, xp=jnp)[0]
+            else:
+                pred = jnp.argmax(total_scores[:num_real_classes])
+            return hits_full, total_scores, pred
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, None, CLS_AXIS),  # table3
+                P(DATA_AXIS, None),  # codes
+                P(DATA_AXIS, None),  # rec_ids
+                P(DATA_AXIS, None),  # valid
+                P(DATA_AXIS, None),  # num_kmers
+                P(),  # num_blocks scalar
+            ),
+            out_specs=(
+                P(DATA_AXIS, None, None),  # per-record hits (replicated over cls)
+                P(),  # total scores (replicated)
+                P(),  # prediction (replicated)
+            ),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def classify(self, records, step: int = 1):
+        """Full sharded classification of (name, codes) records.
+
+        Returns (per_record_hits dict-of-dicts, total_scores dict,
+        prediction-or-None).
+        """
+        codes, rec_ids, valid, num_kmers, names = self.prepare_shard_batches(
+            records, step
+        )
+        num_chunks = rec_ids.shape[1] // self.chunk
+        max_records = num_kmers.shape[1]
+        key = (num_chunks, max_records)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(num_chunks, max_records)
+        step_fn = self._step_cache[key]
+
+        hits, total_scores, pred = step_fn(
+            self.table3,
+            jnp.asarray(codes),
+            jnp.asarray(rec_ids),
+            jnp.asarray(valid),
+            jnp.asarray(num_kmers),
+            jnp.uint32(self.index.num_blocks),
+        )
+        hits = np.asarray(hits)
+        total_scores = np.asarray(total_scores)
+
+        class_names = self.index.class_names
+        per_record = {}
+        for d, shard_names in enumerate(names):
+            for i, name in enumerate(shard_names):
+                per_record[name] = {
+                    class_names[c]: int(hits[d, i, c])
+                    for c in range(len(class_names))
+                }
+        totals = {
+            class_names[c]: float(total_scores[c])
+            for c in range(len(class_names))
+        }
+        prediction = None
+        if self.svm_head is not None:
+            prediction = self.svm_head.classes[int(pred)]
+        return per_record, totals, prediction
