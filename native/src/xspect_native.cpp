@@ -1,0 +1,299 @@
+// xspect2-tpu native host library
+//
+// Fast host-side paths for the framework (the reference keeps all heavy
+// compute in native dependencies — COBS C++, rbloom Rust, Biopython C
+// parsers; see SURVEY.md §2.3 — this library is their framework-native
+// equivalent):
+//
+//   - streaming FASTA/FASTQ parsing into 2-bit-codeable uint8 arrays
+//   - canonical k-mer extraction + the index hash (bit-identical to
+//     xspect2_tpu/core/hashing.py)
+//   - blocked bit-sliced index construction (multi-threaded scatter)
+//   - reference CPU membership query (differential testing + baselines)
+//
+// Exposed as a plain C ABI for ctypes.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t INVALID = 255;
+
+inline uint8_t code_of(char ch) {
+    switch (ch) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+        default: return INVALID;
+    }
+}
+
+// murmur3 fmix32 — must match core/hashing.py::_mix32
+inline uint32_t mix32(uint32_t x) {
+    x ^= x >> 16;
+    x *= 0x85EBCA6Bu;
+    x ^= x >> 13;
+    x *= 0xC2B2AE35u;
+    x ^= x >> 16;
+    return x;
+}
+
+inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+struct KmerHash {
+    uint32_t block;
+    uint32_t base;
+    uint32_t stride;
+};
+
+// must match core/hashing.py::kmer_hash_words / block_and_rows
+inline KmerHash hash_kmer(uint32_t hi, uint32_t lo, uint32_t num_blocks) {
+    uint32_t u = mix32(lo ^ 0x9E3779B1u);
+    uint32_t v = mix32(hi ^ 0x85EBCA77u);
+    uint32_t a = mix32(u ^ rotl32(v, 16) ^ 0xC2B2AE3Du);
+    uint32_t b = mix32(v ^ rotl32(u, 13) ^ 0x27D4EB2Fu);
+    uint32_t c = mix32((u + v) ^ 0x165667B1u) | 1u;
+    return {a % num_blocks, b, c};
+}
+
+// Iterate canonical k-mers of a code sequence with a rolling 64-bit
+// packing: F = forward 2k-bit big-endian pack, RC = reverse complement.
+// canonical = min(F, RC); hi = canon >> 32, lo = low 32 bits — identical
+// to core/dna.py::canonical_kmers' (hi, lo) split for k <= 32.
+template <typename Fn>
+inline void for_each_canonical_kmer(const uint8_t* codes, int64_t n, int k,
+                                    int step, Fn&& fn) {
+    if (n < k) return;
+    const int shift_top = 2 * (k - 1);
+    const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    uint64_t F = 0, RC = 0;
+    int valid_run = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = codes[i];
+        if (c > 3) {
+            valid_run = 0;
+            F = 0;
+            RC = 0;
+            continue;
+        }
+        F = ((F << 2) | c) & mask;
+        RC = (RC >> 2) | (uint64_t(3 - c) << shift_top);
+        valid_run++;
+        int64_t pos = i - k + 1;  // window start
+        if (valid_run >= k && pos % step == 0) {
+            uint64_t canon = F < RC ? F : RC;
+            fn(pos, uint32_t(canon >> 32), uint32_t(canon));
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------- parsing
+
+// First pass: count bases and records. Returns 0 on success.
+int xs_scan_file(const char* path, int is_fastq, int64_t* total_bases,
+                 int64_t* num_records, int64_t* total_id_bytes) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    *total_bases = 0;
+    *num_records = 0;
+    *total_id_bytes = 0;
+
+    std::string line;
+    char buf[1 << 16];
+    int fastq_line = 0;
+    while (fgets(buf, sizeof buf, f)) {
+        size_t len = strlen(buf);
+        bool full_line = len > 0 && buf[len - 1] == '\n';
+        while (len > 0 && (buf[len - 1] == '\n' || buf[len - 1] == '\r')) len--;
+        if (is_fastq) {
+            if (fastq_line == 0 && len > 0 && buf[0] == '@') {
+                (*num_records)++;
+                size_t id_len = 0;
+                while (1 + id_len < len && buf[1 + id_len] != ' ' &&
+                       buf[1 + id_len] != '\t')
+                    id_len++;
+                *total_id_bytes += id_len + 1;
+            } else if (fastq_line == 1) {
+                *total_bases += len;
+            }
+            if (full_line) fastq_line = (fastq_line + 1) % 4;
+        } else {
+            if (len > 0 && buf[0] == '>') {
+                (*num_records)++;
+                size_t id_len = 0;
+                while (1 + id_len < len && buf[1 + id_len] != ' ' &&
+                       buf[1 + id_len] != '\t')
+                    id_len++;
+                *total_id_bytes += id_len + 1;
+            } else {
+                *total_bases += len;
+            }
+            // continuation reads of overlong lines have buf[0] != '>' and
+            // count as sequence, which is correct for FASTA
+        }
+    }
+    fclose(f);
+    return 0;
+}
+
+// Second pass: fill codes [total_bases], offsets [num_records+1] and a
+// NUL-separated id blob. Returns number of records, or -1.
+int64_t xs_parse_file(const char* path, int is_fastq, uint8_t* codes,
+                      int64_t* offsets, char* ids) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+
+    static uint8_t lut[256];
+    static bool lut_init = false;
+    if (!lut_init) {
+        memset(lut, INVALID, sizeof lut);
+        const char* bases = "ACGTacgt";
+        const uint8_t vals[] = {0, 1, 2, 3, 0, 1, 2, 3};
+        for (int i = 0; i < 8; i++) lut[(uint8_t)bases[i]] = vals[i];
+        lut_init = true;
+    }
+
+    char buf[1 << 16];
+    int64_t nrec = 0, nbase = 0, idpos = 0;
+    int fastq_line = 0;
+    bool in_header_continuation = false;
+    while (fgets(buf, sizeof buf, f)) {
+        size_t len = strlen(buf);
+        bool full_line = len > 0 && buf[len - 1] == '\n';
+        while (len > 0 && (buf[len - 1] == '\n' || buf[len - 1] == '\r')) len--;
+
+        bool is_header = false;
+        if (is_fastq) {
+            is_header = (fastq_line == 0 && len > 0 && buf[0] == '@');
+        } else {
+            is_header = (!in_header_continuation && len > 0 && buf[0] == '>');
+        }
+
+        if (is_header) {
+            offsets[nrec] = nbase;
+            nrec++;
+            size_t id_len = 0;
+            while (1 + id_len < len && buf[1 + id_len] != ' ' &&
+                   buf[1 + id_len] != '\t')
+                id_len++;
+            memcpy(ids + idpos, buf + 1, id_len);
+            idpos += id_len;
+            ids[idpos++] = '\0';
+            in_header_continuation = !full_line;
+        } else if (in_header_continuation) {
+            in_header_continuation = !full_line;
+        } else if (!is_fastq || fastq_line == 1) {
+            for (size_t j = 0; j < len; j++) codes[nbase + j] = lut[(uint8_t)buf[j]];
+            nbase += (int64_t)len;
+        }
+        if (is_fastq && full_line) fastq_line = (fastq_line + 1) % 4;
+    }
+    offsets[nrec] = nbase;
+    fclose(f);
+    return nrec;
+}
+
+// ---------------------------------------------------------------- index build
+
+// Set the probe bits of all canonical k-mers of `codes` for one class.
+// Multi-threaded over the sequence; bit sets use atomic fetch_or.
+void xs_insert_kmers(uint32_t* table, int64_t num_blocks, int rows_per_block,
+                     int class_words, int num_hashes, int class_idx,
+                     const uint8_t* codes, int64_t n, int k, int num_threads) {
+    const uint32_t row_mask = uint32_t(rows_per_block - 1);
+    const int word_of_class = class_idx / 32;
+    const uint32_t bit = 1u << (class_idx % 32);
+    auto* atab = reinterpret_cast<std::atomic<uint32_t>*>(table);
+
+    auto work = [&](int64_t lo_i, int64_t hi_i) {
+        // thread owns window STARTS in [lo_i, hi_i); it must read up to
+        // hi_i + k - 1 bases and skip starts outside its range
+        int64_t begin = lo_i == 0 ? 0 : lo_i - (k - 1);
+        int64_t end = hi_i + (k - 1) < n ? hi_i + (k - 1) : n;
+        for_each_canonical_kmer(
+            codes + begin, end - begin, k, 1,
+            [&](int64_t pos, uint32_t hi, uint32_t lo) {
+                int64_t gstart = begin + pos;
+                if (gstart < lo_i || gstart >= hi_i) return;  // other thread's
+                KmerHash h = hash_kmer(hi, lo, uint32_t(num_blocks));
+                int64_t base = (int64_t(h.block) * rows_per_block);
+                uint32_t r = h.base;
+                for (int j = 0; j < num_hashes; j++) {
+                    int64_t word =
+                        (base + int64_t(r & row_mask)) * class_words + word_of_class;
+                    atab[word].fetch_or(bit, std::memory_order_relaxed);
+                    r += h.stride;
+                }
+            });
+    };
+
+    if (num_threads <= 1 || n < (int64_t)1 << 20) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = n / num_threads;
+    for (int t = 0; t < num_threads; t++) {
+        int64_t lo_i = t * per;
+        int64_t hi_i = (t == num_threads - 1) ? n : (t + 1) * per;
+        threads.emplace_back(work, lo_i, hi_i);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Reference CPU query: per-class hit counts of one sequence.
+void xs_count_hits(const uint32_t* table, int64_t num_blocks, int rows_per_block,
+                   int class_words, int num_hashes, int num_classes,
+                   const uint8_t* codes, int64_t n, int k, int step,
+                   int64_t* out_counts) {
+    const uint32_t row_mask = uint32_t(rows_per_block - 1);
+    memset(out_counts, 0, sizeof(int64_t) * num_classes);
+    std::vector<uint32_t> anded(class_words);
+    for_each_canonical_kmer(codes, n, k, step, [&](int64_t, uint32_t hi,
+                                                   uint32_t lo) {
+        KmerHash h = hash_kmer(hi, lo, uint32_t(num_blocks));
+        int64_t base = int64_t(h.block) * rows_per_block;
+        uint32_t r = h.base;
+        for (int w = 0; w < class_words; w++) anded[w] = 0xFFFFFFFFu;
+        for (int j = 0; j < num_hashes; j++) {
+            const uint32_t* row =
+                table + (base + int64_t(r & row_mask)) * class_words;
+            for (int w = 0; w < class_words; w++) anded[w] &= row[w];
+            r += h.stride;
+        }
+        for (int c = 0; c < num_classes; c++) {
+            if ((anded[c / 32] >> (c % 32)) & 1u) out_counts[c]++;
+        }
+    });
+}
+
+// Packed canonical k-mers of a sequence (for tests / tooling):
+// writes hi, lo, valid arrays of length n-k+1 stepped; returns count.
+int64_t xs_canonical_kmers(const uint8_t* codes, int64_t n, int k, int step,
+                           uint32_t* hi_out, uint32_t* lo_out,
+                           uint8_t* valid_out) {
+    if (n < k) return 0;
+    int64_t n_windows = (n - k) / step + 1;
+    memset(valid_out, 0, n_windows);
+    for_each_canonical_kmer(codes, n, k, step,
+                            [&](int64_t pos, uint32_t hi, uint32_t lo) {
+                                int64_t w = pos / step;
+                                hi_out[w] = hi;
+                                lo_out[w] = lo;
+                                valid_out[w] = 1;
+                            });
+    return n_windows;
+}
+
+}  // extern "C"

@@ -138,13 +138,22 @@ class ProbabilisticFilterModel:
             else:
                 self.display_names[doc_name] = file.stem
 
-        # first pass: count k-mers per class for sizing
+        # first pass: count k-mers per class for sizing (native parser when
+        # built; python fallback otherwise)
+        from xspect2_tpu import native
+
+        parsed: dict[int, tuple] = {}
         kmer_counts = []
-        for file in files:
-            total = 0
-            for record in get_record_iterator(file):
-                total += max(0, len(record.seq) - self.k + 1)
-            kmer_counts.append(total)
+        for fi, file in enumerate(files):
+            if native.available():
+                codes, offsets, _ids = native.parse_file(file)
+                parsed[fi] = (codes, offsets)
+                lengths = np.diff(offsets)
+            else:
+                lengths = np.asarray(
+                    [len(r.seq) for r in get_record_iterator(file)]
+                )
+            kmer_counts.append(int(np.maximum(0, lengths - self.k + 1).sum()))
 
         index = BlockedBitSlicedIndex.create(
             self.k,
@@ -154,11 +163,18 @@ class ProbabilisticFilterModel:
             num_hashes=self.num_hashes,
         )
         for ci, file in enumerate(files):
-            for record in get_record_iterator(file):
-                hi, lo, valid = dna.canonical_kmers(
-                    dna.encode(record.seq), self.k
-                )
-                index.insert_kmers(ci, hi, lo, valid)
+            if ci in parsed:
+                codes, offsets = parsed[ci]
+                for r in range(len(offsets) - 1):
+                    native.insert_kmers(
+                        index, ci, codes[offsets[r] : offsets[r + 1]]
+                    )
+            else:
+                for record in get_record_iterator(file):
+                    hi, lo, valid = dna.canonical_kmers(
+                        dna.encode(record.seq), self.k
+                    )
+                    index.insert_kmers(ci, hi, lo, valid)
 
         self.index = index
         self._engine = None

@@ -72,9 +72,18 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
             fpr=self.fpr,
             num_hashes=_optimal_num_hashes(self.fpr),
         )
-        for record in get_record_iterator(file_path):
-            hi, lo, valid = dna.canonical_kmers(dna.encode(record.seq), self.k)
-            index.insert_kmers(0, hi, lo, valid)
+        from xspect2_tpu import native
+
+        if native.available():
+            codes, offsets, _ids = native.parse_file(file_path)
+            for r in range(len(offsets) - 1):
+                native.insert_kmers(index, 0, codes[offsets[r] : offsets[r + 1]])
+        else:
+            for record in get_record_iterator(file_path):
+                hi, lo, valid = dna.canonical_kmers(
+                    dna.encode(record.seq), self.k
+                )
+                index.insert_kmers(0, hi, lo, valid)
 
         self.index = index
         self._engine = None

@@ -1,0 +1,186 @@
+"""ctypes bindings for the native host library (native/libxspect.so).
+
+Fast host paths: FASTA/FASTQ parsing into code arrays, canonical k-mer
+extraction, multi-threaded index construction, and a reference CPU
+query.  Every entry point has a pure-Python/numpy fallback, so the
+framework works without the native build (``make -C native``); parity
+between the two is pinned by tests.
+"""
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATHS = [
+    Path(__file__).resolve().parent.parent / "native" / "build" / "libxspect.so",
+    Path(__file__).resolve().parent / "libxspect.so",
+]
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("XSPECT_NO_NATIVE"):
+        return None
+    for p in _LIB_PATHS:
+        if p.exists():
+            try:
+                lib = ctypes.CDLL(str(p))
+            except OSError:
+                continue
+            _configure(lib)
+            _lib = lib
+            return lib
+    return None
+
+
+def _configure(lib):
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    lib.xs_scan_file.argtypes = [
+        ctypes.c_char_p, i32,
+        ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
+    ]
+    lib.xs_scan_file.restype = i32
+
+    lib.xs_parse_file.argtypes = [ctypes.c_char_p, i32, u8p, i64p, ctypes.c_char_p]
+    lib.xs_parse_file.restype = i64
+
+    lib.xs_insert_kmers.argtypes = [
+        u32p, i64, i32, i32, i32, i32, u8p, i64, i32, i32,
+    ]
+    lib.xs_insert_kmers.restype = None
+
+    lib.xs_count_hits.argtypes = [
+        u32p, i64, i32, i32, i32, i32, u8p, i64, i32, i32, i64p,
+    ]
+    lib.xs_count_hits.restype = None
+
+    lib.xs_canonical_kmers.argtypes = [u8p, i64, i32, i32, u32p, u32p, u8p]
+    lib.xs_canonical_kmers.restype = i64
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def parse_file(path: Path):
+    """Parse a FASTA/FASTQ file natively.
+
+    Returns ``(codes, offsets, ids)``: concatenated uint8 codes, int64
+    record offsets (len = n_records + 1) and the list of record ids.
+    Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    from xspect2_tpu.definitions import fastq_endings
+
+    is_fastq = 1 if Path(path).suffix[1:] in fastq_endings else 0
+    total_bases = ctypes.c_int64()
+    num_records = ctypes.c_int64()
+    id_bytes = ctypes.c_int64()
+    rc = lib.xs_scan_file(
+        str(path).encode(), is_fastq,
+        ctypes.byref(total_bases), ctypes.byref(num_records), ctypes.byref(id_bytes),
+    )
+    if rc != 0:
+        raise ValueError(f"cannot open {path}")
+
+    codes = np.empty(total_bases.value, dtype=np.uint8)
+    offsets = np.empty(num_records.value + 1, dtype=np.int64)
+    ids_buf = ctypes.create_string_buffer(id_bytes.value + 1)
+    nrec = lib.xs_parse_file(str(path).encode(), is_fastq, codes, offsets, ids_buf)
+    if nrec < 0:
+        raise ValueError(f"cannot parse {path}")
+    ids = ids_buf.raw[: id_bytes.value].decode("utf-8", "replace").split("\0")[:nrec]
+    return codes, offsets[: nrec + 1], ids
+
+
+# ---------------------------------------------------------------- index build
+
+
+def insert_kmers(index, class_idx: int, codes: np.ndarray, num_threads: int = 0):
+    """Insert all canonical k-mers of ``codes`` into one class of the index.
+
+    Falls back to the numpy path when the native library is missing.
+    """
+    lib = _load()
+    if lib is None:
+        from xspect2_tpu.core import dna
+
+        hi, lo, valid = dna.canonical_kmers(codes, index.k)
+        index.insert_kmers(class_idx, hi, lo, valid)
+        return
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    lib.xs_insert_kmers(
+        index.table,
+        index.num_blocks,
+        index.rows_per_block,
+        index.class_words,
+        index.num_hashes,
+        class_idx,
+        np.ascontiguousarray(codes, dtype=np.uint8),
+        len(codes),
+        index.k,
+        num_threads,
+    )
+
+
+def count_hits(index, codes: np.ndarray, step: int = 1) -> np.ndarray:
+    """Native single-core reference query: per-class hit counts."""
+    lib = _load()
+    if lib is None:
+        from xspect2_tpu.core import dna
+
+        hi, lo, valid = dna.canonical_kmers(codes, index.k, step=step)
+        return index.count_hits_host(hi, lo, valid)
+    out = np.zeros(index.num_classes, dtype=np.int64)
+    lib.xs_count_hits(
+        index.table,
+        index.num_blocks,
+        index.rows_per_block,
+        index.class_words,
+        index.num_hashes,
+        index.num_classes,
+        np.ascontiguousarray(codes, dtype=np.uint8),
+        len(codes),
+        index.k,
+        step,
+        out,
+    )
+    return out
+
+
+def canonical_kmers(codes: np.ndarray, k: int, step: int = 1):
+    """Native canonical k-mer packing (hi, lo, valid); numpy fallback."""
+    lib = _load()
+    if lib is None:
+        from xspect2_tpu.core import dna
+
+        return dna.canonical_kmers(codes, k, step=step)
+    n = len(codes)
+    if n < k:
+        z = np.zeros(0, dtype=np.uint32)
+        return z, z.copy(), np.zeros(0, dtype=bool)
+    n_windows = (n - k) // step + 1
+    hi = np.zeros(n_windows, dtype=np.uint32)
+    lo = np.zeros(n_windows, dtype=np.uint32)
+    valid = np.zeros(n_windows, dtype=np.uint8)
+    lib.xs_canonical_kmers(
+        np.ascontiguousarray(codes, dtype=np.uint8), n, k, step, hi, lo, valid
+    )
+    return hi, lo, valid.astype(bool)
