@@ -38,24 +38,7 @@ import xspect2_tpu.model_management as mm
 from xspect2_tpu import classify, filter_sequences
 from xspect2_tpu.definitions import get_xspect_runs_path, get_xspect_upload_path
 
-_INDEX_HTML = """<!doctype html>
-<html><head><title>XspecT2-TPU</title>
-<style>body{font-family:sans-serif;max-width:720px;margin:2em auto;padding:0 1em}
-code{background:#eee;padding:0 .3em}</style></head>
-<body>
-<h1>XspecT2-TPU</h1>
-<p>TPU-native taxonomic classification. REST API under <code>/api/*</code>.</p>
-<h2>Quick start</h2>
-<ol>
-<li>Upload: <code>curl -F file=@sample.fasta http://HOST/api/upload-file</code></li>
-<li>Classify: <code>curl -X POST "http://HOST/api/classify?classification_type=Species&amp;model=GENUS&amp;file=sample.fasta"</code></li>
-<li>Result: <code>curl "http://HOST/api/classification-result?uuid=UUID"</code></li>
-</ol>
-<h2>Models</h2><pre id="models">loading…</pre>
-<script>fetch('/api/list-models').then(r=>r.json())
-.then(d=>{document.getElementById('models').textContent=JSON.stringify(d,null,2)})
-.catch(e=>{document.getElementById('models').textContent=String(e)});</script>
-</body></html>"""
+from xspect2_tpu.webui import INDEX_HTML as _INDEX_HTML
 
 
 class BackgroundTasks:
