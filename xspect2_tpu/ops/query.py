@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from xspect2_tpu import profiling
 from xspect2_tpu.core import hashing
 from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
 
@@ -291,9 +292,54 @@ def make_query_body(
     return query_body
 
 
+def pack_reads(reads: np.ndarray):
+    """2-bit-pack a [N, L] uint8 code matrix for cheap host->device transfer.
+
+    Returns ``(packed [N, ceil(L/4)] uint8, bad [N, ceil(L/8)] uint8)``:
+    4 bases per byte (base i in bits 2*(i%4)) plus a bitmask of invalid
+    bases (bit i%8).  Cuts transfer bytes ~4x — important when the host
+    link is the bottleneck.
+    """
+    n, length = reads.shape
+    l4 = -(-length // 4) * 4
+    l8 = -(-length // 8) * 8
+    codes = np.zeros((n, l4), dtype=np.uint8)
+    np.minimum(reads, 3, out=codes[:, :length])
+    packed = (
+        codes.reshape(n, l4 // 4, 4)
+        << np.array([0, 2, 4, 6], dtype=np.uint8)[None, None, :]
+    )
+    packed = np.bitwise_or.reduce(packed, axis=2)
+    badbits = np.zeros((n, l8), dtype=np.uint8)
+    badbits[:, :length] = reads > 3
+    bad = (
+        badbits.reshape(n, l8 // 8, 8)
+        << np.arange(8, dtype=np.uint8)[None, None, :]
+    )
+    bad = np.bitwise_or.reduce(bad, axis=2)
+    return packed, bad
+
+
+def _unpack_reads(packed, bad, read_len: int):
+    """Device-side inverse of :func:`pack_reads` -> uint32 codes (255=bad)."""
+    n = packed.shape[0]
+    codes = (
+        jnp.repeat(packed, 4, axis=1)
+        >> jnp.tile(jnp.asarray([0, 2, 4, 6], jnp.uint8), packed.shape[1])[None, :]
+    ) & jnp.uint8(3)
+    badb = (
+        jnp.repeat(bad, 8, axis=1)
+        >> jnp.tile(jnp.arange(8, dtype=jnp.uint8), bad.shape[1])[None, :]
+    ) & jnp.uint8(1)
+    codes = codes[:, :read_len].astype(jnp.uint32)
+    badb = badb[:, :read_len]
+    return jnp.where(badb > 0, jnp.uint32(255), codes)
+
+
 @partial(
     jax.jit,
     static_argnames=(
+        "read_len",
         "k",
         "num_hashes",
         "rows_per_block",
@@ -305,9 +351,11 @@ def make_query_body(
 )
 def query_reads_device(
     table2d,
-    reads,
+    packed,
+    bad,
     num_blocks,
     *,
+    read_len: int,
     k: int,
     num_hashes: int,
     rows_per_block: int,
@@ -316,7 +364,7 @@ def query_reads_device(
     step: int = 1,
     reads_per_chunk: int = 4096,
 ):
-    """Uniform-read fast path: [N, L] uint8 reads -> int32 [N, num_classes].
+    """Uniform-read fast path: 2-bit-packed [N, L/4] reads -> int32 [N, C].
 
     Used by the high-throughput FASTQ streaming path (BASELINE.json
     config 4): no per-position record-id/validity tensors, no
@@ -324,7 +372,7 @@ def query_reads_device(
     reduction is a plain axis sum.  N must be a multiple of
     ``reads_per_chunk``.
     """
-    n, read_len = reads.shape
+    n = packed.shape[0]
     nk = read_len - k + 1
     num_chunks = n // reads_per_chunk
     lo_bases = min(k, 16)
@@ -338,9 +386,13 @@ def query_reads_device(
     )
 
     def chunk_fn(_, i):
-        r = lax.dynamic_slice(
-            reads, (i * reads_per_chunk, 0), (reads_per_chunk, read_len)
-        ).astype(jnp.uint32)
+        packed_c = lax.dynamic_slice(
+            packed, (i * reads_per_chunk, 0), (reads_per_chunk, packed.shape[1])
+        )
+        bad_c = lax.dynamic_slice(
+            bad, (i * reads_per_chunk, 0), (reads_per_chunk, bad.shape[1])
+        )
+        r = _unpack_reads(packed_c, bad_c, read_len)
 
         zero = jnp.uint32(0)
         shape = (reads_per_chunk, nk)
@@ -348,12 +400,12 @@ def query_reads_device(
         f_lo = jnp.zeros(shape, jnp.uint32)
         r_hi = jnp.zeros(shape, jnp.uint32)
         r_lo = jnp.zeros(shape, jnp.uint32)
-        bad = jnp.zeros(shape, bool)
+        badw = jnp.zeros(shape, bool)
 
         for j in range(k):
             c = r[:, j : j + nk]
             cb = c > 3
-            bad = bad | cb
+            badw = badw | cb
             cm = jnp.where(cb, zero, c)
             if j < hi_bases:
                 f_hi = (f_hi << jnp.uint32(2)) | cm
@@ -387,7 +439,7 @@ def query_reads_device(
         bits = (
             jnp.take(anded, word_idx, axis=1) >> bit_idx[None, :]
         ) & jnp.uint32(1)
-        mask = (~bad).astype(jnp.int32) * step_mask[None, :]  # [rpc, nk]
+        mask = (~badw).astype(jnp.int32) * step_mask[None, :]  # [rpc, nk]
         bits = bits.astype(jnp.int32) * mask.reshape(-1, 1)
         hits = bits.reshape(reads_per_chunk, nk, num_classes).sum(axis=1)
         return None, hits
@@ -411,22 +463,24 @@ class DeviceQueryEngine:
             return np.zeros((0, idx.num_classes), dtype=np.int64)
         max_records = _next_pow2(max(8, batch.num_records))
         num_chunks = batch.num_positions // self.chunk
-        out = query_hits_device(
-            self.table,
-            jnp.asarray(batch.codes),
-            jnp.asarray(batch.rec_ids),
-            jnp.asarray(batch.valid),
-            jnp.uint32(idx.num_blocks),
-            k=idx.k,
-            num_hashes=idx.num_hashes,
-            rows_per_block=idx.rows_per_block,
-            class_words=idx.class_words,
-            num_classes=idx.num_classes,
-            chunk=self.chunk,
-            num_chunks=num_chunks,
-            max_records=max_records,
-        )
-        return np.asarray(out)[: batch.num_records].astype(np.int64)
+        with profiling.phase("query.dispatch"):
+            out = query_hits_device(
+                self.table,
+                jnp.asarray(batch.codes),
+                jnp.asarray(batch.rec_ids),
+                jnp.asarray(batch.valid),
+                jnp.uint32(idx.num_blocks),
+                k=idx.k,
+                num_hashes=idx.num_hashes,
+                rows_per_block=idx.rows_per_block,
+                class_words=idx.class_words,
+                num_classes=idx.num_classes,
+                chunk=self.chunk,
+                num_chunks=num_chunks,
+                max_records=max_records,
+            )
+        with profiling.phase("query.sync"):
+            return np.asarray(out)[: batch.num_records].astype(np.int64)
 
     def count_hits_records(self, records, step: int = 1) -> np.ndarray:
         """Convenience: records = list of (name, codes) -> [n_records, C] hits."""
@@ -448,16 +502,20 @@ class DeviceQueryEngine:
         """
         idx = self.index
         n = len(reads)
+        read_len = reads.shape[1]
         n_pad = -(-n // reads_per_chunk) * reads_per_chunk
         if n_pad != n:
             pad = np.full(
-                (n_pad - n, reads.shape[1]), 255, dtype=np.uint8
+                (n_pad - n, read_len), 255, dtype=np.uint8
             )
             reads = np.concatenate([reads, pad])
+        packed, badmask = pack_reads(reads)
         out = query_reads_device(
             self.table,
-            jnp.asarray(reads),
+            jnp.asarray(packed),
+            jnp.asarray(badmask),
             jnp.uint32(idx.num_blocks),
+            read_len=read_len,
             k=idx.k,
             num_hashes=idx.num_hashes,
             rows_per_block=idx.rows_per_block,
