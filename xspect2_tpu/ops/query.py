@@ -274,20 +274,32 @@ def make_query_body(
             for h in range(1, num_hashes):
                 anded = anded & sel[:, h, :]
 
-            bits = (
-                jnp.take(anded, word_idx, axis=1) >> bit_idx[None, :]
-            ) & jnp.uint32(1)
+            # layout-friendly per-class accumulation: every materialized
+            # buffer keeps a wide minor dim (chunk / max_records), never
+            # the small class dim (TPU pads minor axes to 128 lanes)
             mask = valid_chunk & (~bad)
-            bits = bits.astype(jnp.int32) * mask[:, None].astype(jnp.int32)
+            planes = []
+            for w in range(class_words):
+                aw = anded[:, w]
+                for c in range(min(32, num_classes - 32 * w)):
+                    plane = (aw >> jnp.uint32(c)) & jnp.uint32(1)
+                    planes.append(
+                        jnp.where(mask, plane, jnp.uint32(0)).astype(jnp.int32)
+                    )
+            bits_t = jnp.stack(planes, axis=0)  # [C, chunk]
+            seg_t = jax.vmap(
+                lambda p: jax.ops.segment_sum(
+                    p,
+                    rec_chunk,
+                    num_segments=max_records,
+                    indices_are_sorted=True,
+                )
+            )(bits_t)  # [C, max_records]
+            return acc + seg_t, None
 
-            seg = jax.ops.segment_sum(
-                bits, rec_chunk, num_segments=max_records, indices_are_sorted=True
-            )
-            return acc + seg, None
-
-        acc0 = jnp.zeros((max_records, num_classes), jnp.int32)
+        acc0 = jnp.zeros((num_classes, max_records), jnp.int32)
         acc, _ = lax.scan(body, acc0, jnp.arange(num_chunks))
-        return acc
+        return acc.T
 
     return query_body
 
@@ -436,16 +448,24 @@ def query_reads_device(
         for h in range(1, num_hashes):
             anded = anded & sel[:, h, :]
 
-        bits = (
-            jnp.take(anded, word_idx, axis=1) >> bit_idx[None, :]
-        ) & jnp.uint32(1)
-        mask = (~badw).astype(jnp.int32) * step_mask[None, :]  # [rpc, nk]
-        bits = bits.astype(jnp.int32) * mask.reshape(-1, 1)
-        hits = bits.reshape(reads_per_chunk, nk, num_classes).sum(axis=1)
-        return None, hits
+        # per-class popcount with WIDE minor dims only: TPU pads the
+        # minor axis to 128 lanes, so materializing [N, C] / [rpc, nk, C]
+        # buffers with small C inflates memory traffic up to 16x.  Keep
+        # k-mers minor: bit-plane reductions over [rpc, nk] per class.
+        mask = (~badw) & (step_mask[None, :] > 0)  # [rpc, nk] bool
+        per_class = []
+        for w in range(class_words):
+            aw = anded[:, w].reshape(reads_per_chunk, nk)  # minor = nk
+            for c in range(min(32, num_classes - 32 * w)):
+                plane = (aw >> jnp.uint32(c)) & jnp.uint32(1)
+                plane = jnp.where(mask, plane, jnp.uint32(0))
+                per_class.append(plane.sum(axis=1).astype(jnp.int32))
+        hits_t = jnp.stack(per_class, axis=0)  # [C, rpc], minor = rpc
+        return None, hits_t
 
-    _, hits = lax.scan(chunk_fn, None, jnp.arange(num_chunks))
-    return hits.reshape(n, num_classes)
+    _, hits_t = lax.scan(chunk_fn, None, jnp.arange(num_chunks))
+    # [num_chunks, C, rpc] -> [n, C]
+    return jnp.moveaxis(hits_t, 1, 2).reshape(n, num_classes)
 
 
 class DeviceQueryEngine:
