@@ -266,13 +266,24 @@ def make_query_body(
             )
 
             blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
-            blk3 = blk.reshape(chunk, rows_per_block, class_words)
-            sel = jnp.take_along_axis(
-                blk3, rows.astype(jnp.int32)[:, :, None], axis=1
-            )
-            anded = sel[:, 0, :]
-            for h in range(1, num_hashes):
-                anded = anded & sel[:, h, :]
+            # row-select via compare+mask+reduce over the natural minor
+            # (lane) axis: take_along_axis here lowers to a serialized
+            # ~2GB/s gather (profiled), this formulation stays on the VPU
+            rw = rows_per_block * class_words
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (chunk, rw), 1)
+            if class_words > 1:
+                lane_row = lane_row // class_words
+            anded = None
+            for h in range(num_hashes):
+                m = lane_row == rows[:, h].astype(jnp.int32)[:, None]
+                picked = jnp.where(m, blk, jnp.uint32(0))
+                if class_words > 1:
+                    sel = picked.reshape(
+                        chunk, rows_per_block, class_words
+                    ).sum(axis=1, dtype=jnp.uint32)
+                else:
+                    sel = picked.sum(axis=1, dtype=jnp.uint32)[:, None]
+                anded = sel if anded is None else (anded & sel)
 
             # layout-friendly per-class accumulation: every materialized
             # buffer keeps a wide minor dim (chunk / max_records), never
@@ -438,15 +449,24 @@ def query_reads_device(
         block, rows = hashing.block_and_rows(
             hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
         )
-        blk3 = jnp.take(table2d, block.astype(jnp.int32), axis=0).reshape(
-            -1, rows_per_block, class_words
-        )
-        sel = jnp.take_along_axis(
-            blk3, rows.astype(jnp.int32)[:, :, None], axis=1
-        )
-        anded = sel[:, 0, :]
-        for h in range(1, num_hashes):
-            anded = anded & sel[:, h, :]
+        blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
+        # compare-select row extraction (see make_query_body for rationale)
+        nkm = reads_per_chunk * nk
+        rw = rows_per_block * class_words
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (nkm, rw), 1)
+        if class_words > 1:
+            lane_row = lane_row // class_words
+        anded = None
+        for h in range(num_hashes):
+            m = lane_row == rows[:, h].astype(jnp.int32)[:, None]
+            picked = jnp.where(m, blk, jnp.uint32(0))
+            if class_words > 1:
+                sel = picked.reshape(nkm, rows_per_block, class_words).sum(
+                    axis=1, dtype=jnp.uint32
+                )
+            else:
+                sel = picked.sum(axis=1, dtype=jnp.uint32)[:, None]
+            anded = sel if anded is None else (anded & sel)
 
         # per-class popcount with WIDE minor dims only: TPU pads the
         # minor axis to 128 lanes, so materializing [N, C] / [rpc, nk, C]
