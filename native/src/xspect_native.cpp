@@ -13,6 +13,7 @@
 //
 // Exposed as a plain C ABI for ctypes.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -276,6 +277,52 @@ void xs_count_hits(const uint32_t* table, int64_t num_blocks, int rows_per_block
             if ((anded[c / 32] >> (c % 32)) & 1u) out_counts[c]++;
         }
     });
+}
+
+// ---------------------------------------------------------------- wire pack
+
+// 2-bit-pack an [n, len] uint8 code matrix (row-major) into
+// [n, ceil(len/4)] bytes, base i in bits 2*(i%4).  Invalid codes (>3)
+// pack as 0 and set bad_flags[row] = 1 so the caller can ship a patch
+// list alongside the packed payload (the host->device link is the
+// system bottleneck; see ops/query.py).
+void xs_pack_2bit(const uint8_t* codes, int64_t n, int64_t len, uint8_t* out,
+                  uint8_t* bad_flags, int num_threads) {
+    const int64_t l4 = (len + 3) / 4;
+    auto work = [&](int64_t lo_r, int64_t hi_r) {
+        for (int64_t r = lo_r; r < hi_r; r++) {
+            const uint8_t* src = codes + r * len;
+            uint8_t* dst = out + r * l4;
+            uint8_t bad = 0;
+            int64_t i = 0;
+            for (int64_t b = 0; b < l4; b++) {
+                uint8_t acc = 0;
+                for (int s = 0; s < 8 && i < len; s += 2, i++) {
+                    uint8_t c = src[i];
+                    if (c > 3) {
+                        bad = 1;
+                        c = 0;
+                    }
+                    acc |= uint8_t(c << s);
+                }
+                dst[b] = acc;
+            }
+            bad_flags[r] = bad;
+        }
+    };
+    if (num_threads <= 1 || n < 4096) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n + num_threads - 1) / num_threads;
+    for (int t = 0; t < num_threads; t++) {
+        int64_t lo_r = t * per;
+        int64_t hi_r = std::min(n, lo_r + per);
+        if (lo_r >= hi_r) break;
+        threads.emplace_back(work, lo_r, hi_r);
+    }
+    for (auto& th : threads) th.join();
 }
 
 // Packed canonical k-mers of a sequence (for tests / tooling):

@@ -38,6 +38,10 @@ def test_reads_fast_path_matches_general(rng):
             [(f"r{i}", reads[i]) for i in range(100)], step=step
         )
         np.testing.assert_array_equal(fast, general, err_msg=f"step={step}")
+        raw = engine.count_hits_reads(
+            reads, step=step, reads_per_chunk=64, wire="raw"
+        )
+        np.testing.assert_array_equal(raw, general, err_msg=f"raw step={step}")
 
 
 def test_reads_fast_path_nonblocking(rng):

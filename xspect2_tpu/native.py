@@ -68,6 +68,9 @@ def _configure(lib):
     lib.xs_canonical_kmers.argtypes = [u8p, i64, i32, i32, u32p, u32p, u8p]
     lib.xs_canonical_kmers.restype = i64
 
+    lib.xs_pack_2bit.argtypes = [u8p, i64, i64, u8p, u8p, i32]
+    lib.xs_pack_2bit.restype = None
+
 
 def available() -> bool:
     return _load() is not None
@@ -184,3 +187,33 @@ def canonical_kmers(codes: np.ndarray, k: int, step: int = 1):
         np.ascontiguousarray(codes, dtype=np.uint8), n, k, step, hi, lo, valid
     )
     return hi, lo, valid.astype(bool)
+
+
+def pack_2bit(reads: np.ndarray, num_threads: int = 0):
+    """2-bit-pack an [n, len] uint8 code matrix for the device wire.
+
+    Returns ``(packed [n, ceil(len/4)] uint8, bad_flags [n] uint8)``.
+    Invalid codes (>3) pack as 0 and flag their read; callers ship a
+    patch list of invalid positions next to the packed payload (see
+    ops/query.py).  Numpy fallback when the native library is missing.
+    """
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    n, length = reads.shape
+    l4 = -(-length // 4)
+    lib = _load()
+    if lib is None:
+        lp = l4 * 4
+        codes = np.zeros((n, lp), dtype=np.uint8)
+        codes[:, :length] = np.where(reads > 3, np.uint8(0), reads)
+        packed = codes.reshape(n, l4, 4) << np.array(
+            [0, 2, 4, 6], dtype=np.uint8
+        )
+        packed = np.bitwise_or.reduce(packed, axis=2)
+        bad = (reads > 3).any(axis=1).astype(np.uint8)
+        return packed, bad
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    packed = np.empty((n, l4), dtype=np.uint8)
+    bad = np.empty(n, dtype=np.uint8)
+    lib.xs_pack_2bit(reads, n, length, packed, bad, num_threads)
+    return packed, bad

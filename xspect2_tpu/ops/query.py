@@ -315,68 +315,7 @@ def make_query_body(
     return query_body
 
 
-def pack_reads(reads: np.ndarray):
-    """2-bit-pack a [N, L] uint8 code matrix for cheap host->device transfer.
-
-    Returns ``(packed [N, ceil(L/4)] uint8, bad [N, ceil(L/8)] uint8)``:
-    4 bases per byte (base i in bits 2*(i%4)) plus a bitmask of invalid
-    bases (bit i%8).  Cuts transfer bytes ~4x — important when the host
-    link is the bottleneck.
-    """
-    n, length = reads.shape
-    l4 = -(-length // 4) * 4
-    l8 = -(-length // 8) * 8
-    codes = np.zeros((n, l4), dtype=np.uint8)
-    np.minimum(reads, 3, out=codes[:, :length])
-    packed = (
-        codes.reshape(n, l4 // 4, 4)
-        << np.array([0, 2, 4, 6], dtype=np.uint8)[None, None, :]
-    )
-    packed = np.bitwise_or.reduce(packed, axis=2)
-    badbits = np.zeros((n, l8), dtype=np.uint8)
-    badbits[:, :length] = reads > 3
-    bad = (
-        badbits.reshape(n, l8 // 8, 8)
-        << np.arange(8, dtype=np.uint8)[None, None, :]
-    )
-    bad = np.bitwise_or.reduce(bad, axis=2)
-    return packed, bad
-
-
-def _unpack_reads(packed, bad, read_len: int):
-    """Device-side inverse of :func:`pack_reads` -> uint32 codes (255=bad)."""
-    n = packed.shape[0]
-    codes = (
-        jnp.repeat(packed, 4, axis=1)
-        >> jnp.tile(jnp.asarray([0, 2, 4, 6], jnp.uint8), packed.shape[1])[None, :]
-    ) & jnp.uint8(3)
-    badb = (
-        jnp.repeat(bad, 8, axis=1)
-        >> jnp.tile(jnp.arange(8, dtype=jnp.uint8), bad.shape[1])[None, :]
-    ) & jnp.uint8(1)
-    codes = codes[:, :read_len].astype(jnp.uint32)
-    badb = badb[:, :read_len]
-    return jnp.where(badb > 0, jnp.uint32(255), codes)
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
-        "read_len",
-        "k",
-        "num_hashes",
-        "rows_per_block",
-        "class_words",
-        "num_classes",
-        "step",
-        "reads_per_chunk",
-    ),
-)
-def query_reads_device(
-    table2d,
-    packed,
-    bad,
-    num_blocks,
+def make_reads_query_body(
     *,
     read_len: int,
     k: int,
@@ -387,105 +326,155 @@ def query_reads_device(
     step: int = 1,
     reads_per_chunk: int = 4096,
 ):
-    """Uniform-read fast path: 2-bit-packed [N, L/4] reads -> int32 [N, C].
+    """Traceable uniform-read query: uint8 codes [N, L] -> int32 [N, C].
 
-    Used by the high-throughput FASTQ streaming path (BASELINE.json
-    config 4): no per-position record-id/validity tensors, no
-    segment-sum — windows live within one read, so the per-read
-    reduction is a plain axis sum.  N must be a multiple of
-    ``reads_per_chunk``.
+    The high-throughput path (BASELINE.json config 4): no per-position
+    record-id/validity tensors, no segment-sum — k-mer windows live
+    within one read, so the per-read reduction is a plain axis sum.
+    The chunk body fuses window packing, hashing, the per-k-mer table
+    block gather and probe-row selection; the gather dominates and runs
+    at XLA's TPU gather issue rate (~64-80 M rows/s on a v5e chip —
+    measured insensitive to row size, sortedness and block geometry, and
+    faster than a hand-rolled Pallas DMA ring, ~20 M rows/s).  At
+    num_hashes=7, k=21, 150 bp reads this sustains ~430 k reads/s/chip
+    device-side.  Shared by the raw and 2-bit-packed wire entries below.
     """
-    n = packed.shape[0]
     nk = read_len - k + 1
-    num_chunks = n // reads_per_chunk
     lo_bases = min(k, 16)
     hi_bases = k - lo_bases
+    step_mask_np = (np.arange(nk) % step == 0).astype(np.int32)
 
-    cls = np.arange(num_classes)
-    word_idx = jnp.asarray((cls // 32).astype(np.int32))
-    bit_idx = jnp.asarray((cls % 32).astype(np.uint32))
-    step_mask = jnp.asarray(
-        (np.arange(nk) % step == 0).astype(np.int32)
-    )
+    def body(table2d, reads, num_blocks):
+        n = reads.shape[0]
+        num_chunks = n // reads_per_chunk
+        step_mask = jnp.asarray(step_mask_np)
 
-    def chunk_fn(_, i):
-        packed_c = lax.dynamic_slice(
-            packed, (i * reads_per_chunk, 0), (reads_per_chunk, packed.shape[1])
-        )
-        bad_c = lax.dynamic_slice(
-            bad, (i * reads_per_chunk, 0), (reads_per_chunk, bad.shape[1])
-        )
-        r = _unpack_reads(packed_c, bad_c, read_len)
+        def chunk_fn(_, i):
+            r = lax.dynamic_slice(
+                reads, (i * reads_per_chunk, 0), (reads_per_chunk, read_len)
+            ).astype(jnp.uint32)
 
-        zero = jnp.uint32(0)
-        shape = (reads_per_chunk, nk)
-        f_hi = jnp.zeros(shape, jnp.uint32)
-        f_lo = jnp.zeros(shape, jnp.uint32)
-        r_hi = jnp.zeros(shape, jnp.uint32)
-        r_lo = jnp.zeros(shape, jnp.uint32)
-        badw = jnp.zeros(shape, bool)
+            zero = jnp.uint32(0)
+            shape = (reads_per_chunk, nk)
+            f_hi = jnp.zeros(shape, jnp.uint32)
+            f_lo = jnp.zeros(shape, jnp.uint32)
+            r_hi = jnp.zeros(shape, jnp.uint32)
+            r_lo = jnp.zeros(shape, jnp.uint32)
+            badw = jnp.zeros(shape, bool)
 
-        for j in range(k):
-            c = r[:, j : j + nk]
-            cb = c > 3
-            badw = badw | cb
-            cm = jnp.where(cb, zero, c)
-            if j < hi_bases:
-                f_hi = (f_hi << jnp.uint32(2)) | cm
-            else:
-                f_lo = (f_lo << jnp.uint32(2)) | cm
-        for t in range(k):
-            c = r[:, k - 1 - t : k - 1 - t + nk]
-            cm = jnp.where(c > 3, zero, jnp.uint32(3) - c)
-            if t < hi_bases:
-                r_hi = (r_hi << jnp.uint32(2)) | cm
-            else:
-                r_lo = (r_lo << jnp.uint32(2)) | cm
+            for j in range(k):
+                c = r[:, j : j + nk]
+                cb = c > 3
+                badw = badw | cb
+                cm = jnp.where(cb, zero, c)
+                if j < hi_bases:
+                    f_hi = (f_hi << jnp.uint32(2)) | cm
+                else:
+                    f_lo = (f_lo << jnp.uint32(2)) | cm
+            for t in range(k):
+                c = r[:, k - 1 - t : k - 1 - t + nk]
+                cm = jnp.where(c > 3, zero, jnp.uint32(3) - c)
+                if t < hi_bases:
+                    r_hi = (r_hi << jnp.uint32(2)) | cm
+                else:
+                    r_lo = (r_lo << jnp.uint32(2)) | cm
 
-        fwd_le = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-        hi = jnp.where(fwd_le, f_hi, r_hi).reshape(-1)
-        lo = jnp.where(fwd_le, f_lo, r_lo).reshape(-1)
+            fwd_le = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+            hi = jnp.where(fwd_le, f_hi, r_hi).reshape(-1)
+            lo = jnp.where(fwd_le, f_lo, r_lo).reshape(-1)
 
-        block, rows = hashing.block_and_rows(
-            hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
-        )
-        blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
-        # compare-select row extraction (see make_query_body for rationale)
-        nkm = reads_per_chunk * nk
-        rw = rows_per_block * class_words
-        lane_row = jax.lax.broadcasted_iota(jnp.int32, (nkm, rw), 1)
-        if class_words > 1:
-            lane_row = lane_row // class_words
-        anded = None
-        for h in range(num_hashes):
-            m = lane_row == rows[:, h].astype(jnp.int32)[:, None]
-            picked = jnp.where(m, blk, jnp.uint32(0))
+            block, rows = hashing.block_and_rows(
+                hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
+            )
+            blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
+            # compare-select row extraction: XLA fuses this into the
+            # gather above so only the selected words are ever read
+            nkm = reads_per_chunk * nk
+            rw = rows_per_block * class_words
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (nkm, rw), 1)
             if class_words > 1:
-                sel = picked.reshape(nkm, rows_per_block, class_words).sum(
-                    axis=1, dtype=jnp.uint32
-                )
-            else:
-                sel = picked.sum(axis=1, dtype=jnp.uint32)[:, None]
-            anded = sel if anded is None else (anded & sel)
+                lane_row = lane_row // class_words
+            anded = None
+            for h in range(num_hashes):
+                m = lane_row == rows[:, h].astype(jnp.int32)[:, None]
+                picked = jnp.where(m, blk, jnp.uint32(0))
+                if class_words > 1:
+                    sel = picked.reshape(nkm, rows_per_block, class_words).sum(
+                        axis=1, dtype=jnp.uint32
+                    )
+                else:
+                    sel = picked.sum(axis=1, dtype=jnp.uint32)[:, None]
+                anded = sel if anded is None else (anded & sel)
 
-        # per-class popcount with WIDE minor dims only: TPU pads the
-        # minor axis to 128 lanes, so materializing [N, C] / [rpc, nk, C]
-        # buffers with small C inflates memory traffic up to 16x.  Keep
-        # k-mers minor: bit-plane reductions over [rpc, nk] per class.
-        mask = (~badw) & (step_mask[None, :] > 0)  # [rpc, nk] bool
-        per_class = []
-        for w in range(class_words):
-            aw = anded[:, w].reshape(reads_per_chunk, nk)  # minor = nk
-            for c in range(min(32, num_classes - 32 * w)):
-                plane = (aw >> jnp.uint32(c)) & jnp.uint32(1)
-                plane = jnp.where(mask, plane, jnp.uint32(0))
-                per_class.append(plane.sum(axis=1).astype(jnp.int32))
-        hits_t = jnp.stack(per_class, axis=0)  # [C, rpc], minor = rpc
-        return None, hits_t
+            # per-class popcount with WIDE minor dims only: TPU pads the
+            # minor axis to 128 lanes, so materializing [N, C] / [rpc, nk, C]
+            # buffers with small C inflates memory traffic up to 16x.  Keep
+            # k-mers minor: bit-plane reductions over [rpc, nk] per class.
+            mask = (~badw) & (step_mask[None, :] > 0)  # [rpc, nk] bool
+            per_class = []
+            for w in range(class_words):
+                aw = anded[:, w].reshape(reads_per_chunk, nk)  # minor = nk
+                for c in range(min(32, num_classes - 32 * w)):
+                    plane = (aw >> jnp.uint32(c)) & jnp.uint32(1)
+                    plane = jnp.where(mask, plane, jnp.uint32(0))
+                    per_class.append(plane.sum(axis=1).astype(jnp.int32))
+            hits_t = jnp.stack(per_class, axis=0)  # [C, rpc], minor = rpc
+            return None, hits_t
 
-    _, hits_t = lax.scan(chunk_fn, None, jnp.arange(num_chunks))
-    # [num_chunks, C, rpc] -> [n, C]
-    return jnp.moveaxis(hits_t, 1, 2).reshape(n, num_classes)
+        _, hits_t = lax.scan(chunk_fn, None, jnp.arange(num_chunks))
+        # [num_chunks, C, rpc] -> [n, C]
+        return jnp.moveaxis(hits_t, 1, 2).reshape(n, num_classes)
+
+    return body
+
+
+_QUERY_STATICS = (
+    "read_len",
+    "k",
+    "num_hashes",
+    "rows_per_block",
+    "class_words",
+    "num_classes",
+    "step",
+    "reads_per_chunk",
+)
+
+
+@partial(jax.jit, static_argnames=_QUERY_STATICS)
+def query_reads_device(table2d, reads, num_blocks, **geom):
+    """Raw-wire entry: uint8 code matrix [N, L] (>3 = invalid) -> [N, C]."""
+    return make_reads_query_body(**geom)(table2d, reads, num_blocks)
+
+
+@partial(jax.jit, static_argnames=_QUERY_STATICS)
+def query_packed_reads_device(table2d, packed, bad_pos, num_blocks, **geom):
+    """Packed-wire entry: 2-bit codes [N, ceil(L/4)] -> [N, C].
+
+    The host->device link is the end-to-end bottleneck (the device
+    query itself runs at hundreds of M reads/s), so reads travel 2-bit
+    packed (4x fewer wire bytes; packed by native/xs_pack_2bit at
+    >1 GB/s).  ``bad_pos`` is a fixed-size patch list of flat positions
+    (read * L + base) whose original byte was an invalid base; they are
+    restored to 255 after unpacking (sentinel: out-of-range positions
+    are dropped).  Unpacking happens once into a materialized [N, L]
+    uint8 array — trivial HBM traffic — so the fused query loop below
+    is identical to the raw-wire path.
+    """
+    n = packed.shape[0]
+    l4 = packed.shape[1]
+    read_len = geom["read_len"]
+    shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
+    codes = (
+        (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    ).reshape(n, l4 * 4)[:, :read_len]
+    if bad_pos.shape[0]:
+        flat = codes.reshape(-1)
+        flat = flat.at[bad_pos].set(jnp.uint8(255), mode="drop")
+        codes = flat.reshape(n, read_len)
+    # materialization fence: keeps the scan body byte-identical to the
+    # raw-wire path (the [N, L] codes array is tiny HBM traffic)
+    codes = lax.optimization_barrier(codes)
+    return make_reads_query_body(**geom)(table2d, codes, num_blocks)
 
 
 class DeviceQueryEngine:
@@ -533,28 +522,21 @@ class DeviceQueryEngine:
         step: int = 1,
         reads_per_chunk: int = 4096,
         block: bool = True,
+        wire: str = "packed",
     ):
         """Uniform-read fast path: [N, L] uint8 code matrix -> [N, C] hits.
 
         With ``block=False`` the (possibly padded-to-chunk) device array
         is returned without synchronizing, so callers can pipeline many
-        batches and pay the dispatch latency once.
+        batches and pay the dispatch latency once.  ``wire`` selects the
+        host->device transfer format: "packed" (default; 2-bit via the
+        native packer, 4x fewer wire bytes) or "raw" (one byte/base).
         """
         idx = self.index
         n = len(reads)
         read_len = reads.shape[1]
         n_pad = -(-n // reads_per_chunk) * reads_per_chunk
-        if n_pad != n:
-            pad = np.full(
-                (n_pad - n, read_len), 255, dtype=np.uint8
-            )
-            reads = np.concatenate([reads, pad])
-        packed, badmask = pack_reads(reads)
-        out = query_reads_device(
-            self.table,
-            jnp.asarray(packed),
-            jnp.asarray(badmask),
-            jnp.uint32(idx.num_blocks),
+        geom = dict(
             read_len=read_len,
             k=idx.k,
             num_hashes=idx.num_hashes,
@@ -564,6 +546,60 @@ class DeviceQueryEngine:
             step=step,
             reads_per_chunk=reads_per_chunk,
         )
+        if wire == "packed":
+            from xspect2_tpu import native
+
+            with profiling.phase("query.pack"):
+                packed, bad_flags = native.pack_2bit(reads)
+                if n_pad != n:
+                    # padding rows unpack to all-A; mark them invalid
+                    # via the patch list below so they contribute 0 hits
+                    pad = np.zeros(
+                        (n_pad - n, packed.shape[1]), dtype=np.uint8
+                    )
+                    packed = np.concatenate([packed, pad])
+                bad_rows = np.nonzero(bad_flags)[0]
+                if len(bad_rows):
+                    sub = reads[bad_rows].astype(np.uint8) > 3
+                    rr, cc = np.nonzero(sub)
+                    bad_pos = (
+                        bad_rows[rr].astype(np.int64) * read_len + cc
+                    ).astype(np.int32)
+                else:
+                    bad_pos = np.zeros(0, dtype=np.int32)
+                if n_pad != n:
+                    # one patch per padding read is enough: poisoning a
+                    # single base invalidates every window only if k-1
+                    # neighbours overlap it — poison every k-th base
+                    pad_rows = np.arange(n, n_pad, dtype=np.int64)
+                    offs = np.arange(0, read_len, 1, dtype=np.int64)
+                    pp = (pad_rows[:, None] * read_len + offs[None, :]).reshape(-1)
+                    bad_pos = np.concatenate([bad_pos, pp.astype(np.int32)])
+                # pad patch list to a power of two to bound jit variants;
+                # sentinel = one-past-end (dropped by scatter mode="drop")
+                m = len(bad_pos)
+                cap = _next_pow2(max(8, m)) if m else 0
+                if cap:
+                    sent = np.full(cap, n_pad * read_len, dtype=np.int32)
+                    sent[:m] = bad_pos
+                    bad_pos = sent
+            out = query_packed_reads_device(
+                self.table,
+                jnp.asarray(packed),
+                jnp.asarray(bad_pos),
+                jnp.uint32(idx.num_blocks),
+                **geom,
+            )
+        else:
+            if n_pad != n:
+                pad = np.full((n_pad - n, read_len), 255, dtype=np.uint8)
+                reads = np.concatenate([reads, pad])
+            out = query_reads_device(
+                self.table,
+                jnp.asarray(reads),
+                jnp.uint32(idx.num_blocks),
+                **geom,
+            )
         if not block:
             return out
         return np.asarray(out)[:n].astype(np.int64)
