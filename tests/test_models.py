@@ -190,3 +190,32 @@ def test_model_result_reserved_total_and_save(tmp_path):
     assert data["scores"]["r"]["a"] == 0.5
     assert data["misclassified"] is None
     assert data["input_source"] == "f.fasta"
+
+
+def test_predict_fastq_fast_route_matches_general(tmp_path, species_dir, rng):
+    """Uniform-length FASTQ files route through the native-parse matrix
+    path; results must be identical to the general per-record path."""
+    d, genomes = species_dir
+    model = _make_model(tmp_path)
+    model.fit(d)
+
+    n, length = 600, 120
+    fq = tmp_path / "reads.fastq"
+    names = sorted(genomes)
+    with open(fq, "w", encoding="utf-8") as f:
+        for i in range(n):
+            src = genomes[names[i % 3]]
+            start = int(rng.integers(0, len(src) - length))
+            seq = src[start : start + length]
+            if i == 7:  # an N base must be handled identically
+                seq = seq[:50] + "N" + seq[51:]
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * length}\n")
+
+    for step in (1, 4):
+        fast = model.predict(fq, step=step)
+        from xspect2_tpu.io.fasta import get_record_iterator
+
+        general = model.predict(list(get_record_iterator(fq)), step=step)
+        assert fast.hits == general.hits, f"step={step}"
+        assert fast.num_kmers == general.num_kmers
+        assert list(fast.hits) == [f"r{i}" for i in range(n)]

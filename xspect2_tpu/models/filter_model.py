@@ -230,6 +230,67 @@ class ProbabilisticFilterModel:
         if batch:
             yield batch
 
+    def _predict_path_fast(
+        self,
+        path: Path,
+        exclude_ids: list[str] | None,
+        step: int,
+        display_name: bool,
+    ) -> ModelResult | None:
+        """Uniform-read file fast route: native parse + matrix query.
+
+        FASTQ read files (the throughput-critical input; BASELINE.json
+        config 4) have uniform record lengths, so the whole file parses
+        natively into one [N, L] code matrix and queries through the
+        packed device wire — no per-record Python parsing or batch
+        preparation.  Returns None when not applicable (ragged records,
+        small inputs or no native library) so the caller falls back to
+        the general path; both paths produce identical results
+        (pinned by tests/test_reads_fast_path.py).
+        """
+        from xspect2_tpu import native
+        from xspect2_tpu.ops.query import _next_pow2
+
+        if not native.available():
+            return None
+        parsed = native.parse_file(path)
+        if parsed is None:
+            return None
+        codes, offsets, ids = parsed
+        n = len(ids)
+        if n < 512:
+            return None
+        lengths = np.diff(offsets)
+        if not (lengths == lengths[0]).all():
+            return None
+        length = int(lengths[0])
+        if not length > self.k:
+            raise ValueError("Invalid sequence, must be longer than k")
+
+        mat = codes.reshape(n, length)
+        rpc = 4096
+        n_pad = rpc * _next_pow2(max(1, -(-n // rpc)))
+        if n_pad != n:
+            pad = np.full((n_pad - n, length), 255, dtype=np.uint8)
+            mat = np.concatenate([mat, pad])
+        counts = self.engine.count_hits_reads(
+            mat, step=step, reads_per_chunk=rpc
+        )[:n]
+
+        nk = math.ceil((length - self.k + 1) / step)
+        hits: dict[str, dict[str, int]] = {}
+        num_kmers: dict[str, int] = {}
+        for i, rid in enumerate(ids):
+            rec_hits = self._hits_dict_from_counts(counts[i], exclude_ids)
+            if display_name:
+                rec_hits = {
+                    f"{key} -{self.display_names.get(key, 'Unknown').replace(self.model_display_name, '', 1)}": v
+                    for key, v in rec_hits.items()
+                }
+            hits[rid] = rec_hits
+            num_kmers[rid] = nk
+        return ModelResult(self.slug(), hits, num_kmers, sparse_sampling_step=step)
+
     def predict(
         self,
         sequence_input: SeqRecord | list | Iterator | Path,
@@ -239,6 +300,12 @@ class ProbabilisticFilterModel:
         validation: bool = False,
     ) -> ModelResult:
         """Classify records/file and return a :class:`ModelResult`."""
+        if isinstance(sequence_input, Path) and not validation:
+            fast = self._predict_path_fast(
+                sequence_input, exclude_ids, step, display_name
+            )
+            if fast is not None:
+                return fast
         records = self._as_record_iterable(sequence_input)
 
         hits: dict[str, dict[str, int]] = {}
