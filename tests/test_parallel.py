@@ -93,3 +93,31 @@ def test_sharded_totals_and_svm(big_index):
     # class_names are already sorted -> same order
     expected_pred = head.predict(xvec)[0]
     assert prediction == expected_pred
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 2), (2, 4), (8, 1)])
+def test_sharded_reads_fast_path_matches_single_device(big_index, rng, mesh_shape):
+    idx, seqs = big_index
+    names = sorted(seqs)
+    reads = np.zeros((100, 150), dtype=np.uint8)
+    for i in range(100):
+        src = seqs[names[int(rng.integers(0, len(names)))]]
+        start = int(rng.integers(0, len(src) - 150))
+        reads[i] = dna.encode(src[start : start + 150])
+    reads[5, 33] = 255  # N base
+
+    single = DeviceQueryEngine(idx, chunk=512).count_hits_reads(
+        reads, reads_per_chunk=64
+    )
+    mesh = make_mesh(*mesh_shape)
+    sc = ShardedClassifier(idx, mesh, chunk=512)
+    for step in (1, 3):
+        want = (
+            single
+            if step == 1
+            else DeviceQueryEngine(idx, chunk=512).count_hits_reads(
+                reads, step=step, reads_per_chunk=64
+            )
+        )
+        got = sc.count_hits_reads(reads, step=step, reads_per_chunk=64)
+        np.testing.assert_array_equal(got, want, err_msg=f"{mesh_shape} step={step}")

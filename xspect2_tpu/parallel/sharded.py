@@ -31,6 +31,7 @@ from xspect2_tpu.ops.query import (
     PreparedBatch,
     _next_pow2,
     make_query_body,
+    make_reads_query_body,
     prepare_batch,
 )
 from xspect2_tpu.parallel.mesh import CLS_AXIS, DATA_AXIS
@@ -191,6 +192,67 @@ class ShardedClassifier:
             check_vma=False,
         )
         return jax.jit(mapped)
+
+    def _build_reads_step(self, read_len: int, step: int, reads_per_chunk: int):
+        idx = self.index
+        cw_local = self.cw_local
+        qb = make_reads_query_body(
+            read_len=read_len,
+            k=idx.k,
+            num_hashes=idx.num_hashes,
+            rows_per_block=idx.rows_per_block,
+            class_words=cw_local,
+            num_classes=32 * cw_local,
+            step=step,
+            reads_per_chunk=reads_per_chunk,
+        )
+
+        def shard_fn(table3_l, reads_l, num_blocks):
+            table2d_l = table3_l.reshape(table3_l.shape[0], -1)
+            hits_l = qb(table2d_l, reads_l, num_blocks)  # [n_local, 32*cw_local]
+            # complete per-read class vectors across class shards (ICI)
+            return jax.lax.all_gather(hits_l, CLS_AXIS, axis=1, tiled=True)
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(None, None, CLS_AXIS), P(DATA_AXIS, None), P()),
+            out_specs=P(DATA_AXIS, None),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def count_hits_reads(
+        self, reads: np.ndarray, step: int = 1, reads_per_chunk: int = 1024
+    ) -> np.ndarray:
+        """Sharded uniform-read fast path: [N, L] codes -> [N, C] hits.
+
+        Reads are data-parallel over the data axis; the index table is
+        sharded by class word-columns over the cls axis; per-read class
+        vectors are completed with an ``all_gather`` over ICI.  The
+        multi-chip analogue of
+        :meth:`~xspect2_tpu.ops.query.DeviceQueryEngine.count_hits_reads`
+        (matches it exactly; pinned by tests/test_parallel.py).
+        """
+        n, read_len = reads.shape
+        unit = self.n_data * reads_per_chunk
+        n_pad = unit * _next_pow2(max(1, -(-n // unit)))
+        if n_pad != n:
+            pad = np.full((n_pad - n, read_len), 255, dtype=np.uint8)
+            reads = np.concatenate([reads, pad])
+        key = ("reads", read_len, step, reads_per_chunk)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_reads_step(
+                read_len, step, reads_per_chunk
+            )
+        step_fn = self._step_cache[key]
+        reads_sharded = jax.device_put(
+            reads, NamedSharding(self.mesh, P(DATA_AXIS, None))
+        )
+        hits = step_fn(
+            self.table3, reads_sharded, jnp.uint32(self.index.num_blocks)
+        )
+        return np.asarray(hits)[:n, : self.index.num_classes].astype(np.int64)
 
     def classify(self, records, step: int = 1):
         """Full sharded classification of (name, codes) records.
