@@ -24,6 +24,20 @@ import os
 from dataclasses import dataclass, field
 from functools import partial
 
+# Persistent XLA compilation cache: the first compile of a query shape
+# costs tens of seconds (remote compile on tunneled TPUs); caching makes
+# repeat CLI invocations start in milliseconds.  Users override by
+# setting any of these before import.
+if not os.environ.get("XSPECT_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "XSPECT_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "xspect2-jax"),
+    )
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
+
 import jax
 
 # Optional backend override (e.g. XSPECT_JAX_PLATFORM=cpu for host-only
