@@ -8,8 +8,11 @@ Pipeline (all device-side, per chunk of k-mer positions, inside one
    VPU-only),
 2. canonicalize (element-wise lexicographic min),
 3. hash to (block, rows) with the same uint32 mixing as host build,
-4. gather each k-mer's index block — ONE contiguous transfer per k-mer,
-5. select the ``num_hashes`` probe rows in-register, AND them,
+4. gather each k-mer's index block — ONE contiguous transfer per k-mer
+   (512 B = one (1, 128)-lane tile row, the measured gather sweet spot),
+5. AND the ``num_hashes`` probe rows in ONE pass: a [n, rows_per_block]
+   selected-row mask, unselected rows forced to all-ones, and a single
+   AND-reduce along the lane axis (class-word-major block layout),
 6. unpack per-class bits and segment-sum into per-record hit counts.
 
 This replaces the reference's hot loop (COBS ``Search.search`` per
@@ -211,6 +214,34 @@ def query_hits_device(
     )(table2d, codes, rec_ids, valid, num_blocks)
 
 
+def _selected_rows_mask(rows, n: int, rows_per_block: int, num_hashes: int):
+    """[n, rows_per_block] bool mask of the probe rows of each k-mer.
+
+    Kirsch-Mitzenmacher rows (base + i*stride, stride odd, rpb a power of
+    two) are pairwise distinct, so exactly ``num_hashes`` rows are set.
+    """
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (n, rows_per_block), 1)
+    sel = jnp.zeros((n, rows_per_block), bool)
+    for h in range(num_hashes):
+        sel = sel | (lane_row == rows[:, h].astype(jnp.int32)[:, None])
+    return sel
+
+
+def _anded_probe_words(blk, sel, n: int, rows_per_block: int, class_words: int):
+    """AND of each k-mer's selected block rows: [n, class_words] uint32.
+
+    ``blk`` is the gathered class-word-major block ([n, cw * rpb], word
+    w's rows contiguous): unselected rows are forced to all-ones and a
+    single AND-reduce runs along the minor (lane) axis in rpb-sized
+    segments.  One pass over the gathered bytes — measured 2-4x faster
+    than per-hash compare+select+sum passes (docs/performance.md).
+    """
+    ones = jnp.uint32(0xFFFFFFFF)
+    b3 = blk.reshape(n, class_words, rows_per_block)
+    masked = jnp.where(sel[:, None, :], b3, ones)
+    return lax.reduce(masked, ones, lax.bitwise_and, (2,))
+
+
 def make_query_body(
     *,
     k: int,
@@ -227,14 +258,11 @@ def make_query_body(
     The returned function maps ``(table2d, codes, rec_ids, valid,
     num_blocks) -> int32[max_records, num_classes]`` and is reused both by
     the single-device jit above and by the sharded SPMD path
-    (:mod:`xspect2_tpu.parallel`) inside ``shard_map``.
+    (:mod:`xspect2_tpu.parallel`) inside ``shard_map``.  ``table2d`` is the
+    class-word-major device layout (:meth:`BlockedBitSlicedIndex.device_table`).
     """
     lo_bases = min(k, 16)
     hi_bases = k - lo_bases
-
-    cls = np.arange(num_classes)
-    word_idx = jnp.asarray((cls // 32).astype(np.int32))
-    bit_idx = jnp.asarray((cls % 32).astype(np.uint32))
 
     def query_body(table2d, codes, rec_ids, valid, num_blocks):
         def body(acc, i):
@@ -280,37 +308,23 @@ def make_query_body(
             )
 
             blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
-            # row-select via compare+mask+reduce over the natural minor
-            # (lane) axis: take_along_axis here lowers to a serialized
-            # ~2GB/s gather (profiled), this formulation stays on the VPU
-            rw = rows_per_block * class_words
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (chunk, rw), 1)
-            if class_words > 1:
-                lane_row = lane_row // class_words
-            anded = None
-            for h in range(num_hashes):
-                m = lane_row == rows[:, h].astype(jnp.int32)[:, None]
-                picked = jnp.where(m, blk, jnp.uint32(0))
-                if class_words > 1:
-                    sel = picked.reshape(
-                        chunk, rows_per_block, class_words
-                    ).sum(axis=1, dtype=jnp.uint32)
-                else:
-                    sel = picked.sum(axis=1, dtype=jnp.uint32)[:, None]
-                anded = sel if anded is None else (anded & sel)
+            sel = _selected_rows_mask(rows, chunk, rows_per_block, num_hashes)
+            anded = _anded_probe_words(blk, sel, chunk, rows_per_block, class_words)
+
+            # invalid/padded positions contribute 0 to every class: zero
+            # the whole AND word once instead of masking per class
+            mask = valid_chunk & (~bad)
+            anded = jnp.where(mask[:, None], anded, jnp.uint32(0))
 
             # layout-friendly per-class accumulation: every materialized
             # buffer keeps a wide minor dim (chunk / max_records), never
             # the small class dim (TPU pads minor axes to 128 lanes)
-            mask = valid_chunk & (~bad)
             planes = []
             for w in range(class_words):
                 aw = anded[:, w]
                 for c in range(min(32, num_classes - 32 * w)):
                     plane = (aw >> jnp.uint32(c)) & jnp.uint32(1)
-                    planes.append(
-                        jnp.where(mask, plane, jnp.uint32(0)).astype(jnp.int32)
-                    )
+                    planes.append(plane.astype(jnp.int32))
             bits_t = jnp.stack(planes, axis=0)  # [C, chunk]
             seg_t = jax.vmap(
                 lambda p: jax.ops.segment_sum(
@@ -346,17 +360,28 @@ def make_reads_query_body(
     record-id/validity tensors, no segment-sum — k-mer windows live
     within one read, so the per-read reduction is a plain axis sum.
     The chunk body fuses window packing, hashing, the per-k-mer table
-    block gather and probe-row selection; the gather dominates and runs
-    at XLA's TPU gather issue rate (~64-80 M rows/s on a v5e chip —
-    measured insensitive to row size, sortedness and block geometry, and
-    faster than a hand-rolled Pallas DMA ring, ~20 M rows/s).  At
-    num_hashes=7, k=21, 150 bp reads this sustains ~430 k reads/s/chip
-    device-side.  Shared by the raw and 2-bit-packed wire entries below.
+    block gather (512 B rows gather at ~230-255 M rows/s for tables
+    <~128 MB, ~82 M rows/s beyond — docs/performance.md), the one-pass
+    AND-reduce row selection, and byte-packed per-class accumulation
+    (4 class bits per pass in independent uint32 byte lanes).  At
+    num_hashes=7, k=21, 150 bp reads this sustains ~1.2-1.3 M reads/s
+    per chip device-side on a <=100 MB index (~0.55 M at 200 MB).
+    Shared by the raw and 2-bit-packed wire entries below.
     """
     nk = read_len - k + 1
     lo_bases = min(k, 16)
     hi_bases = k - lo_bases
     step_mask_np = (np.arange(nk) % step == 0).astype(np.int32)
+    # per-read counts are bounded by ceil(nk/step): pick the widest safe
+    # lane packing for the per-class accumulation (4 classes/pass in
+    # byte lanes, 2 in 16-bit lanes, else one class per pass)
+    max_count = -(-nk // step)
+    if max_count <= 0xFF:
+        lane_bits = 8
+    elif max_count <= 0xFFFF:
+        lane_bits = 16
+    else:
+        lane_bits = 32
 
     def body(table2d, reads, num_blocks):
         n = reads.shape[0]
@@ -401,37 +426,39 @@ def make_reads_query_body(
                 hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
             )
             blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
-            # compare-select row extraction: XLA fuses this into the
-            # gather above so only the selected words are ever read
             nkm = reads_per_chunk * nk
-            rw = rows_per_block * class_words
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (nkm, rw), 1)
-            if class_words > 1:
-                lane_row = lane_row // class_words
-            anded = None
-            for h in range(num_hashes):
-                m = lane_row == rows[:, h].astype(jnp.int32)[:, None]
-                picked = jnp.where(m, blk, jnp.uint32(0))
-                if class_words > 1:
-                    sel = picked.reshape(nkm, rows_per_block, class_words).sum(
-                        axis=1, dtype=jnp.uint32
-                    )
-                else:
-                    sel = picked.sum(axis=1, dtype=jnp.uint32)[:, None]
-                anded = sel if anded is None else (anded & sel)
+            sel = _selected_rows_mask(rows, nkm, rows_per_block, num_hashes)
+            anded = _anded_probe_words(
+                blk, sel, nkm, rows_per_block, class_words
+            )
+
+            # invalid windows / skipped sparse-sampling phases contribute
+            # 0 to every class: zero the AND word once
+            mask = (~badw) & (step_mask[None, :] > 0)  # [rpc, nk] bool
+            anded = jnp.where(mask.reshape(nkm)[:, None], anded, jnp.uint32(0))
 
             # per-class popcount with WIDE minor dims only: TPU pads the
             # minor axis to 128 lanes, so materializing [N, C] / [rpc, nk, C]
             # buffers with small C inflates memory traffic up to 16x.  Keep
-            # k-mers minor: bit-plane reductions over [rpc, nk] per class.
-            mask = (~badw) & (step_mask[None, :] > 0)  # [rpc, nk] bool
-            per_class = []
+            # k-mers minor ([rpc, nk] planes), and pack several class bits
+            # per pass into independent uint32 lane fields (per-read counts
+            # are < 2**lane_bits by construction, so lanes never carry).
+            per_class = [None] * num_classes
+            cls_per_pass = 32 // lane_bits
+            lane_mask = {8: 0x01010101, 16: 0x00010001, 32: 1}[lane_bits]
             for w in range(class_words):
                 aw = anded[:, w].reshape(reads_per_chunk, nk)  # minor = nk
-                for c in range(min(32, num_classes - 32 * w)):
-                    plane = (aw >> jnp.uint32(c)) & jnp.uint32(1)
-                    plane = jnp.where(mask, plane, jnp.uint32(0))
-                    per_class.append(plane.sum(axis=1).astype(jnp.int32))
+                nbits = min(32, num_classes - 32 * w)
+                for c0 in range(min(lane_bits, nbits)):
+                    t = (aw >> jnp.uint32(c0)) & jnp.uint32(lane_mask)
+                    s = t.sum(axis=1, dtype=jnp.uint32)  # [rpc]
+                    for b in range(cls_per_pass):
+                        j = c0 + lane_bits * b
+                        if j < nbits:
+                            per_class[32 * w + j] = (
+                                (s >> jnp.uint32(lane_bits * b))
+                                & jnp.uint32((1 << lane_bits) - 1)
+                            ).astype(jnp.int32)
             hits_t = jnp.stack(per_class, axis=0)  # [C, rpc], minor = rpc
             return None, hits_t
 

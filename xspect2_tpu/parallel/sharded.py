@@ -65,17 +65,22 @@ class ShardedClassifier:
         self.cw_pad = math.ceil(cw / self.n_cls) * self.n_cls
         self.cw_local = self.cw_pad // self.n_cls
 
-        table3 = index.table.reshape(
-            index.num_blocks, index.rows_per_block, cw
+        # class-word-major device layout [blocks, cw, rpb] (matches
+        # BlockedBitSlicedIndex.device_table), sharded on the cw axis so
+        # each cls shard holds whole contiguous class words
+        table3 = np.ascontiguousarray(
+            index.table.reshape(
+                index.num_blocks, index.rows_per_block, cw
+            ).transpose(0, 2, 1)
         )
         if self.cw_pad != cw:
             pad = np.zeros(
-                (index.num_blocks, index.rows_per_block, self.cw_pad - cw),
+                (index.num_blocks, self.cw_pad - cw, index.rows_per_block),
                 dtype=np.uint32,
             )
-            table3 = np.concatenate([table3, pad], axis=2)
+            table3 = np.concatenate([table3, pad], axis=1)
 
-        self.table_sharding = NamedSharding(mesh, P(None, None, CLS_AXIS))
+        self.table_sharding = NamedSharding(mesh, P(None, CLS_AXIS, None))
         self.table3 = jax.device_put(table3, self.table_sharding)
         self._step_cache: dict = {}
 
@@ -177,7 +182,7 @@ class ShardedClassifier:
             shard_fn,
             mesh=self.mesh,
             in_specs=(
-                P(None, None, CLS_AXIS),  # table3
+                P(None, CLS_AXIS, None),  # table3 (cw-major)
                 P(DATA_AXIS, None),  # codes
                 P(DATA_AXIS, None),  # rec_ids
                 P(DATA_AXIS, None),  # valid
@@ -216,7 +221,7 @@ class ShardedClassifier:
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P(None, None, CLS_AXIS), P(DATA_AXIS, None), P()),
+            in_specs=(P(None, CLS_AXIS, None), P(DATA_AXIS, None), P()),
             out_specs=P(DATA_AXIS, None),
             check_vma=False,
         )
