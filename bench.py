@@ -136,7 +136,7 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
         step=1,
         reads_per_chunk=reads_per_chunk,
     )
-    nb = jnp.uint32(index.num_blocks)
+    nb = int(index.num_blocks)
     no_patch = jnp.asarray(np.zeros(0, dtype=np.int32))
 
     def stage(b):
@@ -145,7 +145,7 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
 
     t0 = time.time()
     dp0 = stage(batches[0])
-    out = jnp.sum(query_packed_reads_device(engine.table, dp0, no_patch, nb, **geom))
+    out = jnp.sum(query_packed_reads_device(engine.table, dp0, no_patch, num_blocks=nb, **geom))
     _ = int(np.asarray(out))
     log(f"warmup (compile) {time.time() - t0:.1f}s")
 
@@ -157,7 +157,7 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
     for b in batches:
         dp = stage(b)
         hits_dev = query_packed_reads_device(
-            engine.table, dp, no_patch, nb, **geom
+            engine.table, dp, no_patch, num_blocks=nb, **geom
         )
         pred_parts.append(jnp.argmax(hits_dev, axis=1).astype(jnp.uint8))
     preds = np.concatenate([np.asarray(p) for p in pred_parts])
@@ -168,12 +168,12 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
     # device-only: input resident on device, repeated dispatch, closed
     # by a scalar fetch (forces the full chain; adds one ~25 ms RPC)
     dp = stage(batches[0]).block_until_ready()
-    out = query_packed_reads_device(engine.table, dp, no_patch, nb, **geom)
+    out = query_packed_reads_device(engine.table, dp, no_patch, num_blocks=nb, **geom)
     _ = int(np.asarray(jnp.sum(out)))
     n_iter = 6
     t0 = time.time()
     for _ in range(n_iter):
-        out = query_packed_reads_device(engine.table, dp, no_patch, nb, **geom)
+        out = query_packed_reads_device(engine.table, dp, no_patch, num_blocks=nb, **geom)
     _ = int(np.asarray(jnp.sum(out)))
     dev_s = (time.time() - t0) / n_iter
     dev_rps = batch_reads / dev_s

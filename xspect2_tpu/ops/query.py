@@ -175,6 +175,7 @@ def prepare_fixed_batch(
 @partial(
     jax.jit,
     static_argnames=(
+        "num_blocks",
         "k",
         "num_hashes",
         "rows_per_block",
@@ -190,8 +191,8 @@ def query_hits_device(
     codes,
     rec_ids,
     valid,
-    num_blocks,
     *,
+    num_blocks: int,
     k: int,
     num_hashes: int,
     rows_per_block: int,
@@ -470,6 +471,7 @@ def make_reads_query_body(
 
 
 _QUERY_STATICS = (
+    "num_blocks",
     "read_len",
     "k",
     "num_hashes",
@@ -482,13 +484,13 @@ _QUERY_STATICS = (
 
 
 @partial(jax.jit, static_argnames=_QUERY_STATICS)
-def query_reads_device(table2d, reads, num_blocks, **geom):
+def query_reads_device(table2d, reads, *, num_blocks: int, **geom):
     """Raw-wire entry: uint8 code matrix [N, L] (>3 = invalid) -> [N, C]."""
     return make_reads_query_body(**geom)(table2d, reads, num_blocks)
 
 
 @partial(jax.jit, static_argnames=_QUERY_STATICS)
-def query_packed_reads_device(table2d, packed, bad_pos, num_blocks, **geom):
+def query_packed_reads_device(table2d, packed, bad_pos, *, num_blocks: int, **geom):
     """Packed-wire entry: 2-bit codes [N, ceil(L/4)] -> [N, C].
 
     The host->device link is the end-to-end bottleneck (the device
@@ -539,7 +541,7 @@ class DeviceQueryEngine:
                 jnp.asarray(batch.codes),
                 jnp.asarray(batch.rec_ids),
                 jnp.asarray(batch.valid),
-                jnp.uint32(idx.num_blocks),
+                num_blocks=int(idx.num_blocks),
                 k=idx.k,
                 num_hashes=idx.num_hashes,
                 rows_per_block=idx.rows_per_block,
@@ -628,7 +630,7 @@ class DeviceQueryEngine:
                 self.table,
                 jnp.asarray(packed),
                 jnp.asarray(bad_pos),
-                jnp.uint32(idx.num_blocks),
+                num_blocks=int(idx.num_blocks),
                 **geom,
             )
         else:
@@ -638,7 +640,7 @@ class DeviceQueryEngine:
             out = query_reads_device(
                 self.table,
                 jnp.asarray(reads),
-                jnp.uint32(idx.num_blocks),
+                num_blocks=int(idx.num_blocks),
                 **geom,
             )
         if not block:

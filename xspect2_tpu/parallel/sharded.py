@@ -152,8 +152,9 @@ class ShardedClassifier:
         )
         head = self.svm_head
         num_real_classes = idx.num_classes
+        num_blocks = int(idx.num_blocks)  # static: folds the hash modulo
 
-        def shard_fn(table3_l, codes_l, rec_l, valid_l, num_kmers_l, num_blocks):
+        def shard_fn(table3_l, codes_l, rec_l, valid_l, num_kmers_l):
             table2d_l = table3_l.reshape(table3_l.shape[0], -1)
             hits_l = jax.vmap(
                 lambda c, r, v: qb(table2d_l, c, r, v, num_blocks)
@@ -187,7 +188,6 @@ class ShardedClassifier:
                 P(DATA_AXIS, None),  # rec_ids
                 P(DATA_AXIS, None),  # valid
                 P(DATA_AXIS, None),  # num_kmers
-                P(),  # num_blocks scalar
             ),
             out_specs=(
                 P(DATA_AXIS, None, None),  # per-record hits (replicated over cls)
@@ -212,7 +212,9 @@ class ShardedClassifier:
             reads_per_chunk=reads_per_chunk,
         )
 
-        def shard_fn(table3_l, reads_l, num_blocks):
+        num_blocks = int(idx.num_blocks)  # static: folds the hash modulo
+
+        def shard_fn(table3_l, reads_l):
             table2d_l = table3_l.reshape(table3_l.shape[0], -1)
             hits_l = qb(table2d_l, reads_l, num_blocks)  # [n_local, 32*cw_local]
             # complete per-read class vectors across class shards (ICI)
@@ -221,7 +223,7 @@ class ShardedClassifier:
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P(None, CLS_AXIS, None), P(DATA_AXIS, None), P()),
+            in_specs=(P(None, CLS_AXIS, None), P(DATA_AXIS, None)),
             out_specs=P(DATA_AXIS, None),
             check_vma=False,
         )
@@ -254,9 +256,7 @@ class ShardedClassifier:
         reads_sharded = jax.device_put(
             reads, NamedSharding(self.mesh, P(DATA_AXIS, None))
         )
-        hits = step_fn(
-            self.table3, reads_sharded, jnp.uint32(self.index.num_blocks)
-        )
+        hits = step_fn(self.table3, reads_sharded)
         return np.asarray(hits)[:n, : self.index.num_classes].astype(np.int64)
 
     def classify(self, records, step: int = 1):
@@ -281,7 +281,6 @@ class ShardedClassifier:
             jnp.asarray(rec_ids),
             jnp.asarray(valid),
             jnp.asarray(num_kmers),
-            jnp.uint32(self.index.num_blocks),
         )
         hits = np.asarray(hits)
         total_scores = np.asarray(total_scores)
