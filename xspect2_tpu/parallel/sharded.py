@@ -64,6 +64,16 @@ class ShardedClassifier:
         cw = index.class_words
         self.cw_pad = math.ceil(cw / self.n_cls) * self.n_cls
         self.cw_local = self.cw_pad // self.n_cls
+        if self.n_cls > cw:
+            import warnings
+
+            warnings.warn(
+                f"cls axis ({self.n_cls}) exceeds index class_words ({cw}): "
+                f"{self.n_cls - cw} shard(s) query all-zero padding words and "
+                "duplicate the probe work. Use n_cls <= class_words (one word "
+                "per 32 classes) and give the spare devices to the data axis.",
+                stacklevel=2,
+            )
 
         # class-word-major device layout [blocks, cw, rpb] (matches
         # BlockedBitSlicedIndex.device_table), sharded on the cw axis so
