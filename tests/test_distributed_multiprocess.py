@@ -1,0 +1,138 @@
+"""True multi-process distributed run: 2 processes x 4 CPU devices.
+
+The reference has no distributed runtime at all (SURVEY §2.4/§5 —
+scale-out is Slurm jobs with file hand-off); this framework uses JAX's
+native distributed runtime.  Here two OS processes form one 8-device
+global mesh over localhost, each feeds the same global inputs (each
+process materializes only its addressable shards), and the sharded
+classification step's collectives run across the process boundary.
+Every process must see the full, identical hit matrix (outputs are
+replicated over the data axis on multi-host runs).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    sys.path.insert(0, os.environ["XS_ROOT"])
+
+    from xspect2_tpu.parallel import distributed  # noqa: F401 (jax config)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    topo = distributed.initialize(
+        coordinator_address=os.environ["XS_COORD"],
+        num_processes=2,
+        process_id=int(os.environ["XS_PID"]),
+    )
+    assert topo["process_count"] == 2, topo
+    assert topo["global_devices"] == 8, topo
+
+    import numpy as np
+    from xspect2_tpu.core import dna
+    from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+    from xspect2_tpu.parallel import ShardedClassifier, make_mesh
+
+    rng = np.random.default_rng(5)
+    k, C, glen = 21, 64, 4000
+    names = [f"c{i:02d}" for i in range(C)]
+    genomes = rng.integers(0, 4, size=(C, glen), dtype=np.uint8)
+    idx = BlockedBitSlicedIndex.create(k, names, glen, fpr=0.01, num_hashes=7)
+    for ci in range(C):
+        hi, lo, v = dna.canonical_kmers(genomes[ci], k)
+        idx.insert_kmers(ci, hi, lo, v)
+
+    n = 64
+    cls = rng.integers(0, C, size=n)
+    pos = rng.integers(0, glen - 150, size=n)
+    reads = genomes[cls[:, None], pos[:, None] + np.arange(150)[None, :]]
+    reads = reads.astype(np.uint8)
+
+    mesh = make_mesh(n_data=4, n_cls=2)  # global: spans both processes
+    clf = ShardedClassifier(idx, mesh, chunk=1024)
+    hits = clf.count_hits_reads(reads, reads_per_chunk=16)
+
+    out = os.environ["XS_OUT"] + f".p{os.environ['XS_PID']}.npy"
+    np.save(out, hits)
+    print(json.dumps({"ok": True, "pid": int(os.environ["XS_PID"])}))
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_global_mesh(tmp_path):
+    port = _free_port()
+    out_base = str(tmp_path / "hits")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            XS_ROOT=str(ROOT),
+            XS_COORD=f"127.0.0.1:{port}",
+            XS_PID=str(pid),
+            XS_OUT=out_base,
+            JAX_PLATFORMS="cpu",
+            XSPECT_JAX_PLATFORM="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=560)
+        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    assert all(o["ok"] for o in outs)
+
+    h0 = np.load(f"{out_base}.p0.npy")
+    h1 = np.load(f"{out_base}.p1.npy")
+    # both processes fetched the full replicated result
+    np.testing.assert_array_equal(h0, h1)
+
+    # single-process reference on this process's own 8 virtual devices
+    from xspect2_tpu.core import dna
+    from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+    from xspect2_tpu.ops.query import DeviceQueryEngine
+
+    rng = np.random.default_rng(5)
+    k, C, glen = 21, 64, 4000
+    names = [f"c{i:02d}" for i in range(C)]
+    genomes = rng.integers(0, 4, size=(C, glen), dtype=np.uint8)
+    idx = BlockedBitSlicedIndex.create(k, names, glen, fpr=0.01, num_hashes=7)
+    for ci in range(C):
+        hi, lo, v = dna.canonical_kmers(genomes[ci], k)
+        idx.insert_kmers(ci, hi, lo, v)
+    n = 64
+    cls = rng.integers(0, C, size=n)
+    pos = rng.integers(0, glen - 150, size=n)
+    reads = genomes[cls[:, None], pos[:, None] + np.arange(150)[None, :]]
+    reads = reads.astype(np.uint8)
+    ref = DeviceQueryEngine(idx, chunk=1024).count_hits_reads(
+        reads, reads_per_chunk=16, wire="raw"
+    )
+    np.testing.assert_array_equal(h0, ref)

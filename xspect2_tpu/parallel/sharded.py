@@ -37,6 +37,17 @@ from xspect2_tpu.ops.query import (
 from xspect2_tpu.parallel.mesh import CLS_AXIS, DATA_AXIS
 
 
+def _make_global(host_array, sharding):
+    """Build a (possibly multi-host) global array from a host copy.
+
+    Every process passes the same full array; each device materializes
+    only its own shard (multi-host safe, unlike a plain device_put).
+    """
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx]
+    )
+
+
 def _round2(x):
     """round-half-even to 2 decimals (matches the reference's Python round)."""
     return jnp.round(x * 100.0) / 100.0
@@ -91,8 +102,12 @@ class ShardedClassifier:
             table3 = np.concatenate([table3, pad], axis=1)
 
         self.table_sharding = NamedSharding(mesh, P(None, CLS_AXIS, None))
-        self.table3 = jax.device_put(table3, self.table_sharding)
+        self.table3 = _make_global(table3, self.table_sharding)
         self._step_cache: dict = {}
+        # multi-host runs replicate outputs (all_gather over the data
+        # axis in-program) so every process can fetch the full result;
+        # single-process keeps outputs data-sharded (no extra collective)
+        self._replicate_out = jax.process_count() > 1
 
     # ------------------------------------------------------------------ host-side batching
 
@@ -187,8 +202,13 @@ class ShardedClassifier:
                 pred = head.predict_indices(x, xp=jnp)[0]
             else:
                 pred = jnp.argmax(total_scores[:num_real_classes])
+            if replicate:
+                hits_full = jax.lax.all_gather(
+                    hits_full, DATA_AXIS, axis=0, tiled=True
+                )
             return hits_full, total_scores, pred
 
+        replicate = self._replicate_out
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
@@ -200,7 +220,9 @@ class ShardedClassifier:
                 P(DATA_AXIS, None),  # num_kmers
             ),
             out_specs=(
-                P(DATA_AXIS, None, None),  # per-record hits (replicated over cls)
+                # per-record hits: data-sharded, or fully replicated on
+                # multi-host runs so every process can fetch them
+                P(None, None, None) if replicate else P(DATA_AXIS, None, None),
                 P(),  # total scores (replicated)
                 P(),  # prediction (replicated)
             ),
@@ -224,17 +246,22 @@ class ShardedClassifier:
 
         num_blocks = int(idx.num_blocks)  # static: folds the hash modulo
 
+        replicate = self._replicate_out
+
         def shard_fn(table3_l, reads_l):
             table2d_l = table3_l.reshape(table3_l.shape[0], -1)
             hits_l = qb(table2d_l, reads_l, num_blocks)  # [n_local, 32*cw_local]
             # complete per-read class vectors across class shards (ICI)
-            return jax.lax.all_gather(hits_l, CLS_AXIS, axis=1, tiled=True)
+            hits = jax.lax.all_gather(hits_l, CLS_AXIS, axis=1, tiled=True)
+            if replicate:
+                hits = jax.lax.all_gather(hits, DATA_AXIS, axis=0, tiled=True)
+            return hits
 
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(P(None, CLS_AXIS, None), P(DATA_AXIS, None)),
-            out_specs=P(DATA_AXIS, None),
+            out_specs=P(None, None) if replicate else P(DATA_AXIS, None),
             check_vma=False,
         )
         return jax.jit(mapped)
@@ -263,7 +290,7 @@ class ShardedClassifier:
                 read_len, step, reads_per_chunk
             )
         step_fn = self._step_cache[key]
-        reads_sharded = jax.device_put(
+        reads_sharded = _make_global(
             reads, NamedSharding(self.mesh, P(DATA_AXIS, None))
         )
         hits = step_fn(self.table3, reads_sharded)
@@ -285,12 +312,11 @@ class ShardedClassifier:
             self._step_cache[key] = self._build_step(num_chunks, max_records)
         step_fn = self._step_cache[key]
 
+        dsh = lambda a: _make_global(
+            a, NamedSharding(self.mesh, P(*((DATA_AXIS,) + (None,) * (a.ndim - 1))))
+        )
         hits, total_scores, pred = step_fn(
-            self.table3,
-            jnp.asarray(codes),
-            jnp.asarray(rec_ids),
-            jnp.asarray(valid),
-            jnp.asarray(num_kmers),
+            self.table3, dsh(codes), dsh(rec_ids), dsh(valid), dsh(num_kmers)
         )
         hits = np.asarray(hits)
         total_scores = np.asarray(total_scores)
