@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""MLST typing throughput (BASELINE.json config 3).
+
+Builds a synthetic 7-locus Oxford-style scheme (per-locus compact
+index: documents = alleles, k=31, fpr=0.001, 1 hash — reference
+parameters, reference: src/xspect/train.py:345-363), then times
+end-to-end `predict` on assembled-genome-sized inputs, which exercises
+the >=10 kb chunk splitting and the batched per-locus device query.
+
+Prints ONE JSON line like bench.py.
+Usage: python tools/bench_mlst.py [--loci 7] [--alleles 50] [--genomes 20]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--loci", type=int, default=7)
+    ap.add_argument("--alleles", type=int, default=50)
+    ap.add_argument("--allele-len", type=int, default=450)
+    ap.add_argument("--genomes", type=int, default=20)
+    ap.add_argument("--genome-len", type=int, default=100_000)
+    args = ap.parse_args()
+
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="xs_mlst_bench_")
+    os.environ.setdefault("XSPECT_DATA_ROOT", tmp)
+
+    from xspect2_tpu.io.fasta import SeqRecord, write_fasta
+    from xspect2_tpu.models.mlst_model import ProbabilisticFilterMlstSchemeModel
+
+    rng = np.random.default_rng(0)
+    bases = np.array(list("ACGT"))
+
+    def rand_seq(n):
+        return "".join(rng.choice(bases, size=n))
+
+    # scheme: per-locus allele FASTAs (Allele_ID_<n>.fasta layout)
+    scheme = Path(tmp) / "scheme"
+    loci = [f"Oxf_gene{i}" for i in range(args.loci)]
+    alleles = {}
+    for locus in loci:
+        ldir = scheme / locus
+        ldir.mkdir(parents=True)
+        alleles[locus] = []
+        for a in range(1, args.alleles + 1):
+            seq = rand_seq(args.allele_len)
+            alleles[locus].append(seq)
+            write_fasta(
+                [SeqRecord(seq, f"{locus}_{a}")],
+                ldir / f"Allele_ID_{a}.fasta",
+            )
+
+    model = ProbabilisticFilterMlstSchemeModel(
+        31,
+        "oxford-bench",
+        Path(tmp) / "mlst",
+        "https://example.org/schemes/1",
+        "synthetic",
+    )
+    (Path(tmp) / "mlst").mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    model.fit(scheme)
+    fit_s = time.time() - t0
+    print(f"fit ({args.loci} loci x {args.alleles} alleles): {fit_s:.1f}s", file=sys.stderr)
+
+    # assembled genomes embedding one known allele per locus
+    genomes = []
+    truth = []
+    for g in range(args.genomes):
+        picks = {
+            locus: int(rng.integers(0, args.alleles)) for locus in loci
+        }
+        seq = rand_seq(args.genome_len)
+        pos = 1000
+        for locus in loci:
+            a = picks[locus]
+            seq = seq[:pos] + alleles[locus][a] + seq[pos + args.allele_len :]
+            pos += 10_000
+        genomes.append(SeqRecord(seq, f"g{g}"))
+        truth.append(picks)
+
+    # warm (compile)
+    _ = model.predict([genomes[0]])
+    t0 = time.time()
+    correct = total = 0
+    for g, rec in enumerate(genomes):
+        res = model.predict([rec])
+        for locus in loci:
+            total += 1
+            allres = res.hits[rec.id][1]["All results"]
+            r = allres.get(locus, {}) if isinstance(allres, dict) else {}
+            if r:
+                best = next(iter(r))  # sorted: count desc, then name
+                if best == f"Allele_ID_{truth[g][locus] + 1}":
+                    correct += 1
+    dt = time.time() - t0
+    gps = args.genomes / dt
+    bps = args.genomes * args.genome_len / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "MLST typings/sec (synthetic 7-locus scheme, 100kb genomes)",
+                "value": round(gps, 2),
+                "unit": "genomes/s",
+                "vs_baseline": None,
+                "extra": {
+                    "bases_per_s": round(bps),
+                    "locus_allele_accuracy": round(correct / total, 4),
+                    "fit_s": round(fit_s, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

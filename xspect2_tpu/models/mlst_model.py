@@ -206,12 +206,39 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
         any_locus_empty = False
 
         use_split = len(sequence) >= SPLIT_MIN_LENGTH
+        # dispatch every locus query without synchronizing, then fetch:
+        # all loci pay the device round-trip latency once (the per-locus
+        # sync was the dominant cost for assembled-genome inputs)
+        dispatched = []
+        for li, engine in enumerate(self.engines):
+            if use_split:
+                pieces = self.sequence_splitter(
+                    sequence, self.avg_locus_bp_size[li]
+                )
+            else:
+                pieces = [sequence]
+            records = [(f"piece{i}", dna.encode(p)) for i, p in enumerate(pieces)]
+            out = engine.count_hits_records(records, step=step, block=False)
+            dispatched.append((out, len(records)))
+
+        # single device->host fetch for all loci (one round-trip: the
+        # per-locus transfer latency dominated assembled-genome typing)
+        import jax.numpy as jnp
+
+        flat = np.asarray(
+            jnp.concatenate([o.reshape(-1) for o, _ in dispatched])
+        )
+        offsets = np.cumsum([0] + [int(np.prod(o.shape)) for o, _ in dispatched])
+
         for li, engine in enumerate(self.engines):
             names = self.indices[li].class_names
+            out, n_pieces = dispatched[li]
+            counts = (
+                flat[offsets[li] : offsets[li + 1]]
+                .reshape(out.shape)[:n_pieces]
+                .astype(np.int64)
+            )
             if use_split:
-                allele_len = self.avg_locus_bp_size[li]
-                pieces = self.sequence_splitter(sequence, allele_len)
-                counts = self._locus_counts(engine, pieces, step)
                 # per-chunk threshold, then sum over chunks
                 counts = np.where(counts > CHUNK_SCORE_THRESHOLD, counts, 0)
                 totals = counts.sum(axis=0)
@@ -232,7 +259,7 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
                         first_key: sorted_counts[first_key]
                     }
             else:
-                counts = self._locus_counts(engine, [sequence], step)[0]
+                counts = counts[0]
                 order = sorted(
                     range(len(names)), key=lambda i: (-int(counts[i]), names[i])
                 )

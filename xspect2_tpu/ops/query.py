@@ -528,8 +528,14 @@ class DeviceQueryEngine:
         self.chunk = chunk
         self.table = jnp.asarray(index.device_table())
 
-    def count_hits(self, batch: PreparedBatch) -> np.ndarray:
-        """Hit counts: int64 [batch.num_records, num_classes]."""
+    def count_hits(self, batch: PreparedBatch, block: bool = True):
+        """Hit counts: int64 [batch.num_records, num_classes].
+
+        With ``block=False`` the padded device array is returned without
+        synchronizing (slice ``[:num_records]`` after ``np.asarray``);
+        callers dispatching several queries (e.g. one per MLST locus)
+        pay the device round-trip latency once instead of per call.
+        """
         idx = self.index
         if batch.num_records == 0:
             return np.zeros((0, idx.num_classes), dtype=np.int64)
@@ -551,13 +557,15 @@ class DeviceQueryEngine:
                 num_chunks=num_chunks,
                 max_records=max_records,
             )
+        if not block:
+            return out
         with profiling.phase("query.sync"):
             return np.asarray(out)[: batch.num_records].astype(np.int64)
 
-    def count_hits_records(self, records, step: int = 1) -> np.ndarray:
+    def count_hits_records(self, records, step: int = 1, block: bool = True):
         """Convenience: records = list of (name, codes) -> [n_records, C] hits."""
         batch = prepare_batch(records, self.index.k, step=step, chunk=self.chunk)
-        return self.count_hits(batch)
+        return self.count_hits(batch, block=block)
 
     def count_hits_reads(
         self,
