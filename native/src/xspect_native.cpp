@@ -209,12 +209,18 @@ int64_t xs_parse_file(const char* path, int is_fastq, uint8_t* codes,
 
 // Set the probe bits of all canonical k-mers of `codes` for one class.
 // Multi-threaded over the sequence; bit sets use atomic fetch_or.
+// With fields_per_word = P > 1 (field packing; core/blocked_index.py)
+// probe j sits in word (b + j*c) & row_mask at field (g + j) & (P-1),
+// g = (b >> 24) & (P-1) — must match core/hashing.py::block_words_fieldbase.
 void xs_insert_kmers(uint32_t* table, int64_t num_blocks, int rows_per_block,
-                     int class_words, int num_hashes, int class_idx,
-                     const uint8_t* codes, int64_t n, int k, int num_threads) {
+                     int class_words, int num_hashes, int fields_per_word,
+                     int class_idx, const uint8_t* codes, int64_t n, int k,
+                     int num_threads) {
     const uint32_t row_mask = uint32_t(rows_per_block - 1);
+    const uint32_t field_mask = uint32_t(fields_per_word - 1);
+    const int field_bits = 32 / fields_per_word;
     const int word_of_class = class_idx / 32;
-    const uint32_t bit = 1u << (class_idx % 32);
+    const uint32_t class_bit = 1u << (class_idx % 32);
     auto* atab = reinterpret_cast<std::atomic<uint32_t>*>(table);
 
     auto work = [&](int64_t lo_i, int64_t hi_i) {
@@ -230,9 +236,12 @@ void xs_insert_kmers(uint32_t* table, int64_t num_blocks, int rows_per_block,
                 KmerHash h = hash_kmer(hi, lo, uint32_t(num_blocks));
                 int64_t base = (int64_t(h.block) * rows_per_block);
                 uint32_t r = h.base;
+                uint32_t g = (h.base >> 24) & field_mask;
                 for (int j = 0; j < num_hashes; j++) {
                     int64_t word =
                         (base + int64_t(r & row_mask)) * class_words + word_of_class;
+                    uint32_t field = (g + uint32_t(j)) & field_mask;
+                    uint32_t bit = class_bit << (field * field_bits);
                     atab[word].fetch_or(bit, std::memory_order_relaxed);
                     r += h.stride;
                 }
@@ -255,10 +264,14 @@ void xs_insert_kmers(uint32_t* table, int64_t num_blocks, int rows_per_block,
 
 // Reference CPU query: per-class hit counts of one sequence.
 void xs_count_hits(const uint32_t* table, int64_t num_blocks, int rows_per_block,
-                   int class_words, int num_hashes, int num_classes,
-                   const uint8_t* codes, int64_t n, int k, int step,
-                   int64_t* out_counts) {
+                   int class_words, int num_hashes, int fields_per_word,
+                   int num_classes, const uint8_t* codes, int64_t n, int k,
+                   int step, int64_t* out_counts) {
     const uint32_t row_mask = uint32_t(rows_per_block - 1);
+    const uint32_t field_mask = uint32_t(fields_per_word - 1);
+    const int field_bits = 32 / fields_per_word;
+    const uint32_t value_mask =
+        field_bits == 32 ? 0xFFFFFFFFu : ((1u << field_bits) - 1u);
     memset(out_counts, 0, sizeof(int64_t) * num_classes);
     std::vector<uint32_t> anded(class_words);
     for_each_canonical_kmer(codes, n, k, step, [&](int64_t, uint32_t hi,
@@ -266,11 +279,17 @@ void xs_count_hits(const uint32_t* table, int64_t num_blocks, int rows_per_block
         KmerHash h = hash_kmer(hi, lo, uint32_t(num_blocks));
         int64_t base = int64_t(h.block) * rows_per_block;
         uint32_t r = h.base;
+        uint32_t g = (h.base >> 24) & field_mask;
         for (int w = 0; w < class_words; w++) anded[w] = 0xFFFFFFFFu;
         for (int j = 0; j < num_hashes; j++) {
             const uint32_t* row =
                 table + (base + int64_t(r & row_mask)) * class_words;
-            for (int w = 0; w < class_words; w++) anded[w] &= row[w];
+            if (fields_per_word == 1) {
+                for (int w = 0; w < class_words; w++) anded[w] &= row[w];
+            } else {
+                uint32_t field = (g + uint32_t(j)) & field_mask;
+                anded[0] &= (row[0] >> (field * field_bits)) & value_mask;
+            }
             r += h.stride;
         }
         for (int c = 0; c < num_classes; c++) {

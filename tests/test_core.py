@@ -133,3 +133,78 @@ def test_blocked_index_multiclass_and_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(
         idx.count_hits_host(hi, lo), idx2.count_hits_host(hi, lo)
     )
+
+
+def test_field_packed_index_fpr_and_roundtrip(tmp_path, rng):
+    """Field packing (P signature rows per word for C <= 16) preserves
+    the fpr contract and the on-disk roundtrip (format v2)."""
+    k = 21
+    n = 50000
+    names = ["a", "b", "c"]
+    idx = BlockedBitSlicedIndex.create(k, names, n, fpr=0.01, num_hashes=None)
+    assert idx.fields_per_word == 8  # field_bits = 4 for C=3
+    kept = {}
+    for ci, name in enumerate(names):
+        seq = random_dna(np.random.default_rng(100 + ci), n + k - 1)
+        hi, lo, v = dna.canonical_kmers(dna.encode(seq), k)
+        kept[name] = (hi[v], lo[v])
+        idx.insert_kmers(ci, hi, lo, v)
+
+    # no false negatives
+    for ci, name in enumerate(names):
+        hi, lo = kept[name]
+        assert idx.membership_host(hi, lo)[:, ci].all()
+
+    # measured fpr within nominal on disjoint random kmers
+    probe = random_dna(np.random.default_rng(999), 100000 + k - 1)
+    phi, plo, pv = dna.canonical_kmers(dna.encode(probe), k)
+    measured = idx.membership_host(phi[pv], plo[pv]).mean()
+    assert measured < 0.011, f"measured fpr {measured}"
+
+    idx.save(tmp_path / "fp.bbsi")
+    idx2 = BlockedBitSlicedIndex.load(tmp_path / "fp.bbsi")
+    assert idx2.fields_per_word == 8
+    hi, lo = kept["b"]
+    np.testing.assert_array_equal(
+        idx.membership_host(hi, lo), idx2.membership_host(hi, lo)
+    )
+
+
+def test_pick_num_hashes_policy():
+    """Auto probe count: min passes under the fast-table budget; falls
+    back toward the size-optimal h=7 when low-h tables cross the cliff."""
+    from xspect2_tpu.core.blocked_index import pick_num_hashes
+
+    # tiny index: everything fits the budget -> fewest passes (h=2)
+    assert pick_num_hashes(10_000, 0.01, 8) == 2
+    # headline config (4M kmers/class, 8 classes): h=2 table ~99MB is
+    # over the 96MB fast budget, h=3 at ~65MB is under -> h=3
+    assert pick_num_hashes(4_000_000, 0.01, 8) == 3
+    # huge index: nothing fits -> the least-bytes-per-element choice
+    # keeps the size-cost growth smallest (h=7)
+    assert pick_num_hashes(200_000_000, 0.01, 8) == 7
+
+
+def test_format_v1_load_compat(tmp_path, rng):
+    """Indices saved before field packing (no fields_per_word key) load
+    with P=1 and identical semantics."""
+    import json as _json
+
+    k = 21
+    seq = random_dna(rng, 3000)
+    hi, lo, v = dna.canonical_kmers(dna.encode(seq), k)
+    idx = BlockedBitSlicedIndex.create(
+        k, ["x"], 3000, fpr=0.01, num_hashes=4, fields_per_word=1
+    )
+    idx.insert_kmers(0, hi, lo, v)
+    idx.save(tmp_path / "v1.bbsi")
+    meta_path = tmp_path / "v1.bbsi" / "index_meta.json"
+    meta = _json.loads(meta_path.read_text())
+    meta.pop("fields_per_word")
+    meta["format_version"] = 1
+    meta_path.write_text(_json.dumps(meta))
+    idx2 = BlockedBitSlicedIndex.load(tmp_path / "v1.bbsi")
+    assert idx2.fields_per_word == 1
+    np.testing.assert_array_equal(
+        idx.count_hits_host(hi, lo, v), idx2.count_hits_host(hi, lo, v)
+    )

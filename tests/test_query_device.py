@@ -83,3 +83,72 @@ def test_prepare_batch_rejects_short():
 
     with pytest.raises(ValueError, match="longer than k"):
         prepare_batch([("x", dna.encode("ACGT"))], k=21)
+
+
+def test_device_matches_host_field_packed(rng):
+    """Field-packed indices (C <= 16, P = 32/field_bits rows per word):
+    device slot-reduce + rotate body == host reference, all paths."""
+    for num_classes, num_hashes in [(1, 7), (2, 5), (3, 7), (8, 3), (16, 2)]:
+        idx, seqs = _build_index(
+            rng, num_classes=num_classes, seq_len=1200, num_hashes=num_hashes
+        )
+        assert idx.fields_per_word > 1
+        engine = DeviceQueryEngine(idx, chunk=512)
+        records = []
+        for i in range(16):
+            src = seqs[f"c{int(rng.integers(0, num_classes))}"]
+            start = int(rng.integers(0, len(src) - 150))
+            records.append((f"read{i}", dna.encode(src[start : start + 150])))
+        host = _host_counts(idx, records)
+        dev = engine.count_hits_records(records)
+        np.testing.assert_array_equal(dev, host)
+        # uniform-reads fast path (both wires)
+        mat = np.stack([codes for _n, codes in records])
+        for wire in ("packed", "raw"):
+            devr = engine.count_hits_reads(mat, reads_per_chunk=8, wire=wire)
+            np.testing.assert_array_equal(devr, host, err_msg=wire)
+
+
+def test_device_matches_host_512_classes(rng):
+    """The vectorized accumulation keeps program size O(1) in the class
+    count: a 512-class index (MLST-allele scale) traces and matches the
+    host reference (VERDICT round 1 item 2)."""
+    import time
+
+    k = 21
+    num_classes = 512
+    names = [f"allele{i:04d}" for i in range(num_classes)]
+    codes = {
+        n: rng.integers(0, 4, size=420).astype(np.uint8) for n in names
+    }
+    from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+
+    idx = BlockedBitSlicedIndex.create(k, names, 420, fpr=0.001, num_hashes=1)
+    for ci, n in enumerate(names):
+        hi, lo, v = dna.canonical_kmers(codes[n], k)
+        idx.insert_kmers(ci, hi, lo, v)
+    assert idx.class_words == 16
+
+    engine = DeviceQueryEngine(idx, chunk=8192)
+    picks = [names[int(rng.integers(0, num_classes))] for _ in range(6)]
+    records = [(f"q{i}", codes[n]) for i, n in enumerate(picks)]
+    t0 = time.time()
+    dev = engine.count_hits_records(records)
+    trace_s = time.time() - t0
+    host = _host_counts(idx, records)
+    np.testing.assert_array_equal(dev, host)
+    # own-allele kmers all hit
+    for i, n in enumerate(picks):
+        assert dev[i, names.index(n)] == 420 - k + 1
+    # tracing + compile must not blow up with class count (was O(C) ops)
+    assert trace_s < 120, f"compile took {trace_s:.0f}s"
+
+
+def test_wire_validation(rng):
+    import pytest
+
+    idx, seqs = _build_index(rng, num_classes=3, seq_len=600)
+    engine = DeviceQueryEngine(idx, chunk=512)
+    mat = np.stack([dna.encode(seqs["c0"][:150])] * 4)
+    with pytest.raises(ValueError, match="wire"):
+        engine.count_hits_reads(mat, wire="pack")

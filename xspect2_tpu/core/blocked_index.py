@@ -2,15 +2,29 @@
 
 Layout
 ------
-A dense bit matrix of shape ``[num_blocks, rows_per_block, C]`` bits,
-stored as uint32 words ``[num_blocks, rows_per_block * class_words]``
-(``class_words = ceil(C / 32)``).  One *column* per class (document),
-exactly like COBS's bit-sliced layout, but rows are grouped into
-fixed-size *blocks* (typically 512 bytes) and all ``num_hashes`` probes
-of a k-mer are constrained to one block.  A membership query for a k-mer
-therefore costs a single contiguous gather of one block, followed by
-in-register row selection, AND across hashes, and per-class bit
-accumulation — ideal for TPU HBM bandwidth and the VPU.
+A dense bit matrix of ``[num_blocks * rows_per_block * fields_per_word]``
+signature rows x ``C`` class-bit columns, stored as uint32 words
+``[num_blocks, rows_per_block * class_words]``:
+
+- With ``C > 16`` (``fields_per_word == 1``) one word per row per 32
+  classes (``class_words = ceil(C / 32)``), exactly COBS's bit-sliced
+  layout grouped into fixed-size blocks.
+- With ``C <= 16`` a plain word would waste ``32 - C`` of its bits, so
+  ``fields_per_word = 32 // field_bits`` signature rows pack into each
+  word (``field_bits`` = smallest power of two >= C).  For the typical
+  8-class species model this makes the resident table 4x smaller — which
+  is the difference between the fast and slow regime of the TPU's
+  row-gather path (the measured ~100→200 MB cliff, docs/performance.md)
+  — and 32x smaller for single-class genus Bloom filters.
+
+All ``num_hashes`` probes of a k-mer live in one block (typically 512 B
+= one (1, 128) lane-tile row), so a membership query costs a single
+contiguous gather per k-mer followed by in-register row selection, AND
+across probes, and per-class bit accumulation.  Probe ``i`` sits in word
+``(b + i*c) & (rows_per_block-1)`` at field ``(g + i) & (P-1)`` (see
+core/hashing.py::block_words_fieldbase), so the device query aligns
+fields with ``min(num_hashes, P)`` static-shift AND-reduce passes plus
+one cheap variable rotate per pass.
 
 Semantics match the reference's index contract (reference:
 src/xspect/models/probabilistic_filter_model.py:196-235): per class, the
@@ -21,11 +35,15 @@ hashing; there are no false negatives.
 Sizing uses the COBS signature-size formula per class (for the largest
 class) with a configurable oversizing factor that compensates for the
 slightly higher false-positive rate of blocked addressing.  With
-``num_hashes == 1`` blocking is exact (no penalty).
+``num_hashes=None`` the probe count is chosen automatically: fewer
+probes mean fewer device passes but a larger table at equal fpr, so the
+picker minimizes a measured-constant cost model that penalizes tables
+above the fast-gather budget (docs/performance.md).
 """
 
 import json
 import math
+import os
 from pathlib import Path
 
 import numpy as np
@@ -48,17 +66,69 @@ def cobs_signature_bits(num_kmers: int, fpr: float, num_hashes: int) -> int:
 
 
 def default_rows_per_block(class_words: int, target_block_bytes: int = 512) -> int:
-    """Rows per block so one block is ~target_block_bytes (power of two, >= 8)."""
+    """Words per block per class-word so one block is ~target_block_bytes."""
     rows = target_block_bytes // (class_words * 4)
     rows = max(8, rows)
     # round down to power of two
     return 1 << (rows.bit_length() - 1)
 
 
+def default_fields_per_word(num_classes: int) -> int:
+    """Signature rows per uint32 word: 32 // (smallest pow2 >= C), min 1."""
+    if num_classes > 16:
+        return 1
+    fb = 1
+    while fb < num_classes:
+        fb *= 2
+    return 32 // fb
+
+
+def pick_num_hashes(
+    num_kmers: int,
+    fpr: float,
+    num_classes: int,
+    target_block_bytes: int = 512,
+    size_factor: float = 1.3,
+    budget_bytes: int | None = None,
+) -> int:
+    """Choose the probe count that minimizes estimated per-k-mer cost.
+
+    At a fixed fpr the signature size m(h) is minimal at the classic
+    optimum (h=7 for fpr=0.01) and grows as h shrinks, while the device
+    query body runs ``h`` row-select compares plus ``min(h, P)``
+    AND-reduce passes over the gathered block.  Constants are measured
+    on v5e (tools/microbench_fields.py): ~0.42 ns/k-mer per body pass,
+    ~3.4 ns/k-mer gather below the fast-table budget, ~11.5 ns at
+    200 MB growing ~(size)^1.3 beyond (the 100→200 MB cliff,
+    docs/performance.md).  E.g. the 8-class headline config picks h=3
+    (65 MB, 1.39 M reads/s) over h=7 (50 MB, 0.97 M) and h=2 (99 MB,
+    cliff-adjacent).
+    """
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get("XSPECT_FAST_TABLE_BYTES", 96_000_000))
+    class_words = max(1, (num_classes + 31) // 32)
+    P = default_fields_per_word(num_classes) if class_words == 1 else 1
+    rpb = default_rows_per_block(class_words, target_block_bytes)
+    best_h, best_cost = 7, None
+    for h in (2, 3, 4, 5, 7):
+        bits = int(math.ceil(cobs_signature_bits(num_kmers, fpr, h) * size_factor))
+        num_blocks = max(16, -(-bits // (rpb * P)))
+        nbytes = num_blocks * rpb * class_words * 4
+        passes = h + min(h, P)
+        if nbytes <= budget_bytes:
+            gather = 3.4
+        else:
+            gather = 11.5 * (nbytes / 200e6) ** 1.3
+        cost = 0.42 * passes + gather
+        if best_cost is None or cost < best_cost:
+            best_h, best_cost = h, cost
+    return best_h
+
+
 class BlockedBitSlicedIndex:
     """Dense blocked bit-sliced signature index over C classes."""
 
-    FORMAT_VERSION = 1
+    FORMAT_VERSION = 2
 
     def __init__(
         self,
@@ -69,13 +139,25 @@ class BlockedBitSlicedIndex:
         num_hashes: int,
         fpr: float,
         table: np.ndarray | None = None,
+        fields_per_word: int = 1,
     ):
         if rows_per_block & (rows_per_block - 1):
             raise ValueError("rows_per_block must be a power of two")
+        if fields_per_word & (fields_per_word - 1):
+            raise ValueError("fields_per_word must be a power of two")
         self.k = k
         self.class_names = list(class_names)
         self.num_classes = len(self.class_names)
         self.class_words = max(1, (self.num_classes + 31) // 32)
+        if fields_per_word > 1:
+            if self.class_words != 1:
+                raise ValueError("fields_per_word > 1 requires <= 32 classes")
+            if self.num_classes * fields_per_word > 32:
+                raise ValueError(
+                    "fields_per_word * num_classes must fit one uint32 word"
+                )
+        self.fields_per_word = int(fields_per_word)
+        self.field_bits = 32 // self.fields_per_word
         self.num_blocks = int(num_blocks)
         self.rows_per_block = int(rows_per_block)
         self.num_hashes = int(num_hashes)
@@ -97,19 +179,76 @@ class BlockedBitSlicedIndex:
         class_names: list[str],
         max_kmers_per_class: int,
         fpr: float = 0.01,
-        num_hashes: int = 7,
+        num_hashes: int | None = 7,
         size_factor: float | None = None,
         target_block_bytes: int = 512,
+        fields_per_word: int | None = None,
     ) -> "BlockedBitSlicedIndex":
-        """Allocate an empty index sized for ``max_kmers_per_class`` items/class."""
+        """Allocate an empty index sized for ``max_kmers_per_class`` items/class.
+
+        ``num_hashes=None`` picks the probe count automatically (see
+        :func:`pick_num_hashes`); ``fields_per_word=None`` packs as many
+        signature rows per word as the class count allows.
+        """
+        num_classes = len(class_names)
+        if num_hashes is None:
+            num_hashes = pick_num_hashes(
+                max_kmers_per_class,
+                fpr,
+                num_classes,
+                target_block_bytes=target_block_bytes,
+                size_factor=1.3 if size_factor is None else size_factor,
+            )
         if size_factor is None:
             size_factor = 1.0 if num_hashes == 1 else 1.3
-        class_words = max(1, (len(class_names) + 31) // 32)
+        class_words = max(1, (num_classes + 31) // 32)
+        if fields_per_word is None:
+            fields_per_word = (
+                default_fields_per_word(num_classes) if class_words == 1 else 1
+            )
         rows_per_block = default_rows_per_block(class_words, target_block_bytes)
         bits = cobs_signature_bits(max_kmers_per_class, fpr, num_hashes)
         bits = int(math.ceil(bits * size_factor))
-        num_blocks = max(16, (bits + rows_per_block - 1) // rows_per_block)
-        return cls(k, class_names, num_blocks, rows_per_block, num_hashes, fpr)
+        num_blocks = max(16, -(-bits // (rows_per_block * fields_per_word)))
+        return cls(
+            k,
+            class_names,
+            num_blocks,
+            rows_per_block,
+            num_hashes,
+            fpr,
+            fields_per_word=fields_per_word,
+        )
+
+    def _probe_words_bits(self, hi: np.ndarray, lo: np.ndarray, class_idx: int):
+        """Flat word indices [n, h] and per-probe bit masks for one class."""
+        block, words, g = hashing.block_words_fieldbase(
+            hi,
+            lo,
+            self.num_blocks,
+            self.rows_per_block,
+            self.num_hashes,
+            self.fields_per_word,
+            xp=np,
+        )
+        base = block.astype(np.int64) * self.rows_per_block
+        if self.fields_per_word == 1:
+            word_of_class = class_idx // 32
+            flat = (
+                (base[:, None] + words.astype(np.int64)) * self.class_words
+                + word_of_class
+            )
+            bits = np.broadcast_to(
+                np.uint32(1) << np.uint32(class_idx % 32), flat.shape
+            )
+            return flat, bits
+        i = np.arange(self.num_hashes, dtype=np.uint32)
+        fields = (g[:, None] + i) & np.uint32(self.fields_per_word - 1)
+        flat = base[:, None] + words.astype(np.int64)  # class_words == 1
+        bits = np.uint32(1) << (
+            fields * np.uint32(self.field_bits) + np.uint32(class_idx)
+        )
+        return flat, bits
 
     def insert_kmers(
         self,
@@ -124,19 +263,8 @@ class BlockedBitSlicedIndex:
             lo = lo[valid]
         if hi.size == 0:
             return
-        block, rows = hashing.block_and_rows(
-            hi, lo, self.num_blocks, self.rows_per_block, self.num_hashes, xp=np
-        )
-        word_of_class = np.uint32(class_idx // 32)
-        bit = np.uint32(1) << np.uint32(class_idx % 32)
-        base = (
-            block.astype(np.int64) * self.rows_per_block + 0
-        )  # block base row index
-        flat = (
-            (base[:, None] + rows.astype(np.int64)) * self.class_words
-            + int(word_of_class)
-        ).reshape(-1)
-        np.bitwise_or.at(self.table, flat, bit)
+        flat, bits = self._probe_words_bits(hi, lo, class_idx)
+        np.bitwise_or.at(self.table, flat.reshape(-1), bits.reshape(-1))
 
     # ------------------------------------------------------------------ query (host reference)
 
@@ -144,21 +272,41 @@ class BlockedBitSlicedIndex:
         """Reference (numpy) membership query: [n, C] uint8 bit matrix."""
         if hi.size == 0:
             return np.zeros((0, self.num_classes), dtype=np.uint8)
-        block, rows = hashing.block_and_rows(
-            hi, lo, self.num_blocks, self.rows_per_block, self.num_hashes, xp=np
+        block, words, g = hashing.block_words_fieldbase(
+            hi,
+            lo,
+            self.num_blocks,
+            self.rows_per_block,
+            self.num_hashes,
+            self.fields_per_word,
+            xp=np,
         )
         base_row = block.astype(np.int64) * self.rows_per_block
-        # gather words for each (kmer, hash) probe: [n, h, class_words]
-        word_idx = (
-            (base_row[:, None] + rows.astype(np.int64))[:, :, None] * self.class_words
-            + np.arange(self.class_words, dtype=np.int64)[None, None, :]
-        )
-        probes = self.table[word_idx]
-        anded = probes[:, 0, :]
+        if self.fields_per_word == 1:
+            # gather words for each (kmer, hash) probe: [n, h, class_words]
+            word_idx = (
+                (base_row[:, None] + words.astype(np.int64))[:, :, None]
+                * self.class_words
+                + np.arange(self.class_words, dtype=np.int64)[None, None, :]
+            )
+            probes = self.table[word_idx]
+            anded = probes[:, 0, :]
+            for h in range(1, self.num_hashes):
+                anded = anded & probes[:, h, :]
+            cls = np.arange(self.num_classes)
+            bits = (anded[:, cls // 32] >> (cls % 32).astype(np.uint32)) & np.uint32(1)
+            return bits.astype(np.uint8)
+        # field-packed: align each probe's field before the AND
+        i = np.arange(self.num_hashes, dtype=np.uint32)
+        fields = (g[:, None] + i) & np.uint32(self.fields_per_word - 1)
+        probes = self.table[base_row[:, None] + words.astype(np.int64)]  # [n, h]
+        field_mask = np.uint32((1 << self.field_bits) - 1)
+        aligned = (probes >> (fields * np.uint32(self.field_bits))) & field_mask
+        anded = aligned[:, 0]
         for h in range(1, self.num_hashes):
-            anded = anded & probes[:, h, :]
-        cls = np.arange(self.num_classes)
-        bits = (anded[:, cls // 32] >> (cls % 32).astype(np.uint32)) & np.uint32(1)
+            anded = anded & aligned[:, h]
+        cls = np.arange(self.num_classes, dtype=np.uint32)
+        bits = (anded[:, None] >> cls[None, :]) & np.uint32(1)
         return bits.astype(np.uint8)
 
     def count_hits_host(
@@ -183,6 +331,7 @@ class BlockedBitSlicedIndex:
             "class_words": self.class_words,
             "num_hashes": self.num_hashes,
             "fpr": self.fpr,
+            "fields_per_word": self.fields_per_word,
         }
 
     def save(self, dir_path: Path) -> None:
@@ -206,6 +355,8 @@ class BlockedBitSlicedIndex:
             meta["num_hashes"],
             meta["fpr"],
             table=table,
+            # format v1 predates field packing
+            fields_per_word=meta.get("fields_per_word", 1),
         )
 
     # ------------------------------------------------------------------ info
@@ -223,6 +374,8 @@ class BlockedBitSlicedIndex:
         (lane) axis in R-sized segments, which measures ~1.5-2x faster
         than a row-major strided reduce (docs/performance.md).  The
         one-time transpose here costs a single pass over the table.
+        (With class_words == 1 — always the case when fields_per_word
+        > 1 — the transpose is the identity.)
         """
         t3 = self.table.reshape(
             self.num_blocks, self.rows_per_block, self.class_words

@@ -78,3 +78,40 @@ def block_and_rows(hi, lo, num_blocks: int, rows_per_block: int, num_hashes: int
     i = xp.arange(num_hashes, dtype=xp.uint32)
     rows = (b[..., None] + i * c[..., None]) & mask
     return block, rows
+
+
+def block_words_fieldbase(
+    hi,
+    lo,
+    num_blocks: int,
+    rows_per_block: int,
+    num_hashes: int,
+    fields_per_word: int = 1,
+    xp=np,
+):
+    """Probe geometry for a field-packed index.
+
+    With ``fields_per_word`` = P > 1, each uint32 table word stores P
+    signature rows of ``32 // P`` class bits each.  Probe ``i`` of a
+    k-mer lives in word ``(b + i*c) & (rows_per_block - 1)`` at field
+    ``(g + i) & (P - 1)``; the hash-derived base field ``g`` makes every
+    field fill uniformly even when ``num_hashes < P``.  Probes sharing a
+    field (``i ≡ j (mod P)``) have distinct words because ``(i-j)*c`` is
+    never 0 mod ``rows_per_block`` (c odd, |i-j| < rows_per_block's
+    2-adic order bound).
+
+    Returns ``(block [n], words [n, num_hashes], g [n])`` (all uint32);
+    with P == 1, ``words`` equals :func:`block_and_rows`' rows and ``g``
+    is all-zero.
+    """
+    if rows_per_block & (rows_per_block - 1):
+        raise ValueError("rows_per_block must be a power of two")
+    if fields_per_word & (fields_per_word - 1):
+        raise ValueError("fields_per_word must be a power of two")
+    a, b, c = kmer_hash_words(hi, lo, xp=xp)
+    block = a % _u32(xp, num_blocks)
+    mask = _u32(xp, rows_per_block - 1)
+    i = xp.arange(num_hashes, dtype=xp.uint32)
+    words = (b[..., None] + i * c[..., None]) & mask
+    g = (b >> _u32(xp, 24)) & _u32(xp, fields_per_word - 1)
+    return block, words, g

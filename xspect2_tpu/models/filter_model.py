@@ -46,7 +46,7 @@ class ProbabilisticFilterModel:
         model_type: str,
         base_path: Path,
         fpr: float = 0.01,
-        num_hashes: int = 7,
+        num_hashes: int | None = None,
         training_accessions: dict[str, list[str]] | None = None,
     ) -> None:
         if k < 1:
@@ -66,6 +66,9 @@ class ProbabilisticFilterModel:
         self.base_path = base_path
         self.display_names: dict[str, str] = {}
         self.fpr = fpr
+        # None = pick the probe count at fit time for query speed at
+        # equal fpr (core/blocked_index.py::pick_num_hashes); resolved
+        # value is stored in the metadata so loads are deterministic
         self.num_hashes = num_hashes
         self.index: BlockedBitSlicedIndex | None = None
         self.training_accessions = training_accessions
@@ -91,7 +94,9 @@ class ProbabilisticFilterModel:
             "model_class": self.__class__.__name__,
             "display_names": self.display_names,
             "fpr": self.fpr,
-            "num_hashes": self.num_hashes,
+            "num_hashes": (
+                self.index.num_hashes if self.index is not None else self.num_hashes
+            ),
             "training_accessions": self.training_accessions,
         }
 
@@ -162,6 +167,7 @@ class ProbabilisticFilterModel:
             fpr=self.fpr,
             num_hashes=self.num_hashes,
         )
+        self.num_hashes = index.num_hashes
         for ci, file in enumerate(files):
             if ci in parsed:
                 codes, offsets = parsed[ci]

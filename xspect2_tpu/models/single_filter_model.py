@@ -65,12 +65,16 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
             total_length += len(record.seq)
         num_kmers = max(1, total_length - self.k + 1)
 
+        # auto probe count: fewer probes = fewer device passes at equal
+        # fpr (the classic optimum only minimizes table SIZE; genus
+        # filters are single-class so field packing already makes them
+        # 32x denser — see core/blocked_index.py::pick_num_hashes)
         index = BlockedBitSlicedIndex.create(
             self.k,
             [file_path.stem],
             num_kmers,
             fpr=self.fpr,
-            num_hashes=_optimal_num_hashes(self.fpr),
+            num_hashes=None,
         )
         from xspect2_tpu import native
 

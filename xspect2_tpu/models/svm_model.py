@@ -51,7 +51,7 @@ class ProbabilisticFilterSVMModel(ProbabilisticFilterModel):
         kernel: str,
         c: float,
         fpr: float = 0.01,
-        num_hashes: int = 7,
+        num_hashes: int | None = None,
         training_accessions: dict[str, list[str]] | None = None,
         svm_accessions: dict[str, list[str]] | None = None,
     ) -> None:

@@ -56,12 +56,12 @@ def _configure(lib):
     lib.xs_parse_file.restype = i64
 
     lib.xs_insert_kmers.argtypes = [
-        u32p, i64, i32, i32, i32, i32, u8p, i64, i32, i32,
+        u32p, i64, i32, i32, i32, i32, i32, u8p, i64, i32, i32,
     ]
     lib.xs_insert_kmers.restype = None
 
     lib.xs_count_hits.argtypes = [
-        u32p, i64, i32, i32, i32, i32, u8p, i64, i32, i32, i64p,
+        u32p, i64, i32, i32, i32, i32, i32, u8p, i64, i32, i32, i64p,
     ]
     lib.xs_count_hits.restype = None
 
@@ -135,6 +135,7 @@ def insert_kmers(index, class_idx: int, codes: np.ndarray, num_threads: int = 0)
         index.rows_per_block,
         index.class_words,
         index.num_hashes,
+        index.fields_per_word,
         class_idx,
         np.ascontiguousarray(codes, dtype=np.uint8),
         len(codes),
@@ -158,6 +159,7 @@ def count_hits(index, codes: np.ndarray, step: int = 1) -> np.ndarray:
         index.rows_per_block,
         index.class_words,
         index.num_hashes,
+        index.fields_per_word,
         index.num_classes,
         np.ascontiguousarray(codes, dtype=np.uint8),
         len(codes),

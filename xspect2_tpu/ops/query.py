@@ -184,6 +184,7 @@ def prepare_fixed_batch(
         "chunk",
         "num_chunks",
         "max_records",
+        "fields_per_word",
     ),
 )
 def query_hits_device(
@@ -201,6 +202,7 @@ def query_hits_device(
     chunk: int,
     num_chunks: int,
     max_records: int,
+    fields_per_word: int = 1,
 ):
     """Per-record, per-class hit counts: returns int32 [max_records, num_classes]."""
     return make_query_body(
@@ -212,35 +214,130 @@ def query_hits_device(
         chunk=chunk,
         num_chunks=num_chunks,
         max_records=max_records,
+        fields_per_word=fields_per_word,
     )(table2d, codes, rec_ids, valid, num_blocks)
 
 
-def _selected_rows_mask(rows, n: int, rows_per_block: int, num_hashes: int):
-    """[n, rows_per_block] bool mask of the probe rows of each k-mer.
+def _gather_and_probe(
+    table2d,
+    hi,
+    lo,
+    *,
+    num_blocks: int,
+    num_hashes: int,
+    rows_per_block: int,
+    class_words: int,
+    fields_per_word: int,
+):
+    """Gather each k-mer's block and AND its probe rows: [n, cw] uint32.
 
-    Kirsch-Mitzenmacher rows (base + i*stride, stride odd, rpb a power of
-    two) are pairwise distinct, so exactly ``num_hashes`` rows are set.
+    One contiguous gather per k-mer (class-word-major block layout, word
+    w's rows contiguous), then one masked AND-reduce along the minor
+    (lane) axis per *probe slot*: unselected rows are forced to all-ones
+    (Kirsch-Mitzenmacher words — base + i*stride, stride odd, rpb a power
+    of two — are pairwise distinct within a slot).  With field packing
+    (fields_per_word = P > 1; core/blocked_index.py) there are
+    ``min(num_hashes, P)`` slots whose reduced words are aligned with a
+    cheap per-k-mer variable rotate before the cross-slot AND; with
+    P == 1 this is a single AND-reduce pass — measured 2-4x faster than
+    per-hash compare+select+sum passes (docs/performance.md).
     """
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (n, rows_per_block), 1)
-    sel = jnp.zeros((n, rows_per_block), bool)
-    for h in range(num_hashes):
-        sel = sel | (lane_row == rows[:, h].astype(jnp.int32)[:, None])
-    return sel
-
-
-def _anded_probe_words(blk, sel, n: int, rows_per_block: int, class_words: int):
-    """AND of each k-mer's selected block rows: [n, class_words] uint32.
-
-    ``blk`` is the gathered class-word-major block ([n, cw * rpb], word
-    w's rows contiguous): unselected rows are forced to all-ones and a
-    single AND-reduce runs along the minor (lane) axis in rpb-sized
-    segments.  One pass over the gathered bytes — measured 2-4x faster
-    than per-hash compare+select+sum passes (docs/performance.md).
-    """
+    n = hi.shape[0]
+    P = fields_per_word
+    fb = 32 // P
+    F = min(num_hashes, P)
     ones = jnp.uint32(0xFFFFFFFF)
+
+    a, b, c = hashing.kmer_hash_words(hi, lo, xp=jnp)
+    block = a % jnp.uint32(num_blocks)
+    blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
     b3 = blk.reshape(n, class_words, rows_per_block)
-    masked = jnp.where(sel[:, None, :], b3, ones)
-    return lax.reduce(masked, ones, lax.bitwise_and, (2,))
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (n, rows_per_block), 1)
+    if P > 1:
+        g = (b >> jnp.uint32(24)) & jnp.uint32(P - 1)
+
+    out = None
+    for s in range(F):
+        sel = jnp.zeros((n, rows_per_block), bool)
+        for i in range(s, num_hashes, P):
+            w = (b + jnp.uint32(i) * c) & jnp.uint32(rows_per_block - 1)
+            sel = sel | (lane_row == w.astype(jnp.int32)[:, None])
+        masked = jnp.where(sel[:, None, :], b3, ones)
+        and_s = lax.reduce(masked, ones, lax.bitwise_and, (2,))  # [n, cw]
+        if P > 1:
+            # probe slot s sits at field (g + s) mod P; rotate it down to
+            # field 0 (shift amounts masked &31 so rot=0 stays defined)
+            rot = ((g + jnp.uint32(s)) & jnp.uint32(P - 1)) * jnp.uint32(fb)
+            v = and_s[:, 0]
+            v = (v >> rot) | (v << ((jnp.uint32(32) - rot) & jnp.uint32(31)))
+            and_s = v[:, None]
+        out = and_s if out is None else out & and_s
+    if P > 1:
+        out = out & jnp.uint32((1 << fb) - 1)
+    return out
+
+
+def _accumulate_reads(
+    anded, *, reads_per_chunk: int, nk: int, class_words: int, num_classes: int, lane_bits: int
+):
+    """Per-read hit counts from AND words: [nkm, cw] -> int32 [C, rpc].
+
+    Lane-packed popcount with WIDE minor dims only: the per-class bit
+    planes keep k-mers minor ([cw, rpc, nk]) and several class bits ride
+    one pass in independent uint32 lane fields (4 classes/pass in byte
+    lanes; per-read counts stay < 2**lane_bits by construction, so lanes
+    never carry).  O(lane_bits) program ops regardless of the class
+    count — MLST-scale indices (1000+ alleles/locus) trace and compile
+    in constant program size.
+    """
+    cw = class_words
+    a3 = anded.T.reshape(cw, reads_per_chunk, nk)
+    lane_mask = {8: 0x01010101, 16: 0x00010001, 32: 1}[lane_bits]
+    if cw == 1 and num_classes <= lane_bits:
+        l0, nlanes = num_classes, 1
+    else:
+        l0 = lane_bits
+        nlanes = (32 // lane_bits) if cw > 1 else -(-num_classes // lane_bits)
+    sums = []
+    for c0 in range(l0):
+        t = (a3 >> jnp.uint32(c0)) & jnp.uint32(lane_mask)
+        sums.append(t.sum(axis=2, dtype=jnp.uint32))  # [cw, rpc]
+    packed = jnp.stack(sums, axis=1)  # [cw, l0, rpc]
+    lane_shift = jnp.arange(nlanes, dtype=jnp.uint32) * jnp.uint32(lane_bits)
+    vals = (packed[:, None, :, :] >> lane_shift[None, :, None, None]) & jnp.uint32(
+        (1 << lane_bits) - 1
+    )
+    # class j = 32*w + lane_bits*b + c0  ==  row order of [cw, b, c0]
+    return vals.reshape(cw * nlanes * l0, reads_per_chunk)[:num_classes].astype(
+        jnp.int32
+    )
+
+
+def _accumulate_segments(
+    anded, rec_chunk, *, class_words: int, num_classes: int, max_records: int
+):
+    """Per-record hit counts from AND words: [chunk, cw] -> int32 [C, max_records].
+
+    Vectorized bit unpack (O(1) program ops in the class count) feeding
+    a vmapped sorted segment-sum; every materialized buffer keeps a wide
+    minor dim (chunk / max_records), never the small class dim (TPU pads
+    minor axes to 128 lanes).
+    """
+    n_shift = 32 if class_words > 1 else num_classes
+    shifts = jnp.arange(n_shift, dtype=jnp.uint32)
+    a_t = anded.T  # [cw, chunk]
+    bits = ((a_t[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)).astype(
+        jnp.int32
+    )
+    bits = bits.reshape(class_words * n_shift, -1)[:num_classes]  # [C, chunk]
+    return jax.vmap(
+        lambda p: jax.ops.segment_sum(
+            p,
+            rec_chunk,
+            num_segments=max_records,
+            indices_are_sorted=True,
+        )
+    )(bits)  # [C, max_records]
 
 
 def make_query_body(
@@ -253,6 +350,7 @@ def make_query_body(
     chunk: int,
     num_chunks: int,
     max_records: int,
+    fields_per_word: int = 1,
 ):
     """Build the pure traceable query function for the given static geometry.
 
@@ -304,37 +402,29 @@ def make_query_body(
             hi = jnp.where(fwd_le, f_hi, r_hi)
             lo = jnp.where(fwd_le, f_lo, r_lo)
 
-            block, rows = hashing.block_and_rows(
-                hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
+            anded = _gather_and_probe(
+                table2d,
+                hi,
+                lo,
+                num_blocks=num_blocks,
+                num_hashes=num_hashes,
+                rows_per_block=rows_per_block,
+                class_words=class_words,
+                fields_per_word=fields_per_word,
             )
-
-            blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
-            sel = _selected_rows_mask(rows, chunk, rows_per_block, num_hashes)
-            anded = _anded_probe_words(blk, sel, chunk, rows_per_block, class_words)
 
             # invalid/padded positions contribute 0 to every class: zero
             # the whole AND word once instead of masking per class
             mask = valid_chunk & (~bad)
             anded = jnp.where(mask[:, None], anded, jnp.uint32(0))
 
-            # layout-friendly per-class accumulation: every materialized
-            # buffer keeps a wide minor dim (chunk / max_records), never
-            # the small class dim (TPU pads minor axes to 128 lanes)
-            planes = []
-            for w in range(class_words):
-                aw = anded[:, w]
-                for c in range(min(32, num_classes - 32 * w)):
-                    plane = (aw >> jnp.uint32(c)) & jnp.uint32(1)
-                    planes.append(plane.astype(jnp.int32))
-            bits_t = jnp.stack(planes, axis=0)  # [C, chunk]
-            seg_t = jax.vmap(
-                lambda p: jax.ops.segment_sum(
-                    p,
-                    rec_chunk,
-                    num_segments=max_records,
-                    indices_are_sorted=True,
-                )
-            )(bits_t)  # [C, max_records]
+            seg_t = _accumulate_segments(
+                anded,
+                rec_chunk,
+                class_words=class_words,
+                num_classes=num_classes,
+                max_records=max_records,
+            )
             return acc + seg_t, None
 
         acc0 = jnp.zeros((num_classes, max_records), jnp.int32)
@@ -354,6 +444,7 @@ def make_reads_query_body(
     num_classes: int,
     step: int = 1,
     reads_per_chunk: int = 4096,
+    fields_per_word: int = 1,
 ):
     """Traceable uniform-read query: uint8 codes [N, L] -> int32 [N, C].
 
@@ -423,14 +514,16 @@ def make_reads_query_body(
             hi = jnp.where(fwd_le, f_hi, r_hi).reshape(-1)
             lo = jnp.where(fwd_le, f_lo, r_lo).reshape(-1)
 
-            block, rows = hashing.block_and_rows(
-                hi, lo, num_blocks, rows_per_block, num_hashes, xp=jnp
-            )
-            blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
             nkm = reads_per_chunk * nk
-            sel = _selected_rows_mask(rows, nkm, rows_per_block, num_hashes)
-            anded = _anded_probe_words(
-                blk, sel, nkm, rows_per_block, class_words
+            anded = _gather_and_probe(
+                table2d,
+                hi,
+                lo,
+                num_blocks=num_blocks,
+                num_hashes=num_hashes,
+                rows_per_block=rows_per_block,
+                class_words=class_words,
+                fields_per_word=fields_per_word,
             )
 
             # invalid windows / skipped sparse-sampling phases contribute
@@ -438,29 +531,14 @@ def make_reads_query_body(
             mask = (~badw) & (step_mask[None, :] > 0)  # [rpc, nk] bool
             anded = jnp.where(mask.reshape(nkm)[:, None], anded, jnp.uint32(0))
 
-            # per-class popcount with WIDE minor dims only: TPU pads the
-            # minor axis to 128 lanes, so materializing [N, C] / [rpc, nk, C]
-            # buffers with small C inflates memory traffic up to 16x.  Keep
-            # k-mers minor ([rpc, nk] planes), and pack several class bits
-            # per pass into independent uint32 lane fields (per-read counts
-            # are < 2**lane_bits by construction, so lanes never carry).
-            per_class = [None] * num_classes
-            cls_per_pass = 32 // lane_bits
-            lane_mask = {8: 0x01010101, 16: 0x00010001, 32: 1}[lane_bits]
-            for w in range(class_words):
-                aw = anded[:, w].reshape(reads_per_chunk, nk)  # minor = nk
-                nbits = min(32, num_classes - 32 * w)
-                for c0 in range(min(lane_bits, nbits)):
-                    t = (aw >> jnp.uint32(c0)) & jnp.uint32(lane_mask)
-                    s = t.sum(axis=1, dtype=jnp.uint32)  # [rpc]
-                    for b in range(cls_per_pass):
-                        j = c0 + lane_bits * b
-                        if j < nbits:
-                            per_class[32 * w + j] = (
-                                (s >> jnp.uint32(lane_bits * b))
-                                & jnp.uint32((1 << lane_bits) - 1)
-                            ).astype(jnp.int32)
-            hits_t = jnp.stack(per_class, axis=0)  # [C, rpc], minor = rpc
+            hits_t = _accumulate_reads(
+                anded,
+                reads_per_chunk=reads_per_chunk,
+                nk=nk,
+                class_words=class_words,
+                num_classes=num_classes,
+                lane_bits=lane_bits,
+            )  # [C, rpc], minor = rpc
             return None, hits_t
 
         _, hits_t = lax.scan(chunk_fn, None, jnp.arange(num_chunks))
@@ -480,6 +558,7 @@ _QUERY_STATICS = (
     "num_classes",
     "step",
     "reads_per_chunk",
+    "fields_per_word",
 )
 
 
@@ -490,18 +569,22 @@ def query_reads_device(table2d, reads, *, num_blocks: int, **geom):
 
 
 @partial(jax.jit, static_argnames=_QUERY_STATICS)
-def query_packed_reads_device(table2d, packed, bad_pos, *, num_blocks: int, **geom):
+def query_packed_reads_device(
+    table2d, packed, bad_rows, bad_cols, *, num_blocks: int, **geom
+):
     """Packed-wire entry: 2-bit codes [N, ceil(L/4)] -> [N, C].
 
     The host->device link is the end-to-end bottleneck (the device
     query itself runs at hundreds of M reads/s), so reads travel 2-bit
     packed (4x fewer wire bytes; packed by native/xs_pack_2bit at
-    >1 GB/s).  ``bad_pos`` is a fixed-size patch list of flat positions
-    (read * L + base) whose original byte was an invalid base; they are
-    restored to 255 after unpacking (sentinel: out-of-range positions
-    are dropped).  Unpacking happens once into a materialized [N, L]
-    uint8 array — trivial HBM traffic — so the fused query loop below
-    is identical to the raw-wire path.
+    >1 GB/s).  ``(bad_rows, bad_cols)`` is a fixed-size patch list of
+    (read, base) positions whose original byte was an invalid base; they
+    are restored to 255 after unpacking.  2-D int32 indices keep the
+    patch list overflow-free at any batch size (a flat read*L+base index
+    would wrap past 2**31 positions); sentinel entries point one row
+    past the end and are dropped by the scatter.  Unpacking happens once
+    into a materialized [N, L] uint8 array — trivial HBM traffic — so
+    the fused query loop below is identical to the raw-wire path.
     """
     n = packed.shape[0]
     l4 = packed.shape[1]
@@ -510,10 +593,8 @@ def query_packed_reads_device(table2d, packed, bad_pos, *, num_blocks: int, **ge
     codes = (
         (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
     ).reshape(n, l4 * 4)[:, :read_len]
-    if bad_pos.shape[0]:
-        flat = codes.reshape(-1)
-        flat = flat.at[bad_pos].set(jnp.uint8(255), mode="drop")
-        codes = flat.reshape(n, read_len)
+    if bad_rows.shape[0]:
+        codes = codes.at[bad_rows, bad_cols].set(jnp.uint8(255), mode="drop")
     # materialization fence: keeps the scan body byte-identical to the
     # raw-wire path (the [N, L] codes array is tiny HBM traffic)
     codes = lax.optimization_barrier(codes)
@@ -525,7 +606,11 @@ class DeviceQueryEngine:
 
     def __init__(self, index: BlockedBitSlicedIndex, chunk: int = DEFAULT_CHUNK):
         self.index = index
-        self.chunk = chunk
+        # wide-class indices (many class words) multiply the per-position
+        # accumulation buffers by class_words; shrink the scan chunk so
+        # intermediates stay bounded (power of two preserved)
+        cw = index.class_words
+        self.chunk = min(chunk, max(8192, _next_pow2((1 << 19) // cw + 1) // 2))
         self.table = jnp.asarray(index.device_table())
 
     def count_hits(self, batch: PreparedBatch, block: bool = True):
@@ -556,6 +641,7 @@ class DeviceQueryEngine:
                 chunk=self.chunk,
                 num_chunks=num_chunks,
                 max_records=max_records,
+                fields_per_word=idx.fields_per_word,
             )
         if not block:
             return out
@@ -584,6 +670,10 @@ class DeviceQueryEngine:
         native packer, 4x fewer wire bytes) or "raw" (one byte/base).
         """
         idx = self.index
+        if wire not in ("packed", "raw"):
+            raise ValueError(
+                f"unknown wire format {wire!r}: expected 'packed' or 'raw'"
+            )
         n = len(reads)
         read_len = reads.shape[1]
         n_pad = -(-n // reads_per_chunk) * reads_per_chunk
@@ -596,6 +686,7 @@ class DeviceQueryEngine:
             num_classes=idx.num_classes,
             step=step,
             reads_per_chunk=reads_per_chunk,
+            fields_per_word=idx.fields_per_word,
         )
         if wire == "packed":
             from xspect2_tpu import native
@@ -609,35 +700,39 @@ class DeviceQueryEngine:
                         (n_pad - n, packed.shape[1]), dtype=np.uint8
                     )
                     packed = np.concatenate([packed, pad])
-                bad_rows = np.nonzero(bad_flags)[0]
-                if len(bad_rows):
-                    sub = reads[bad_rows].astype(np.uint8) > 3
+                flagged = np.nonzero(bad_flags)[0]
+                if len(flagged):
+                    sub = reads[flagged].astype(np.uint8) > 3
                     rr, cc = np.nonzero(sub)
-                    bad_pos = (
-                        bad_rows[rr].astype(np.int64) * read_len + cc
-                    ).astype(np.int32)
+                    bad_rows = flagged[rr].astype(np.int32)
+                    bad_cols = cc.astype(np.int32)
                 else:
-                    bad_pos = np.zeros(0, dtype=np.int32)
+                    bad_rows = np.zeros(0, dtype=np.int32)
+                    bad_cols = np.zeros(0, dtype=np.int32)
                 if n_pad != n:
-                    # one patch per padding read is enough: poisoning a
-                    # single base invalidates every window only if k-1
-                    # neighbours overlap it — poison every k-th base
-                    pad_rows = np.arange(n, n_pad, dtype=np.int64)
-                    offs = np.arange(0, read_len, 1, dtype=np.int64)
-                    pp = (pad_rows[:, None] * read_len + offs[None, :]).reshape(-1)
-                    bad_pos = np.concatenate([bad_pos, pp.astype(np.int32)])
+                    # poisoning every k-th base of a padding row suffices:
+                    # each k-wide window then contains >= 1 invalid base
+                    pad_rows = np.arange(n, n_pad, dtype=np.int32)
+                    offs = np.arange(0, read_len, idx.k, dtype=np.int32)
+                    pr = np.repeat(pad_rows, len(offs))
+                    pc = np.tile(offs, len(pad_rows))
+                    bad_rows = np.concatenate([bad_rows, pr])
+                    bad_cols = np.concatenate([bad_cols, pc])
                 # pad patch list to a power of two to bound jit variants;
-                # sentinel = one-past-end (dropped by scatter mode="drop")
-                m = len(bad_pos)
+                # sentinel = one row past the end (dropped by mode="drop")
+                m = len(bad_rows)
                 cap = _next_pow2(max(8, m)) if m else 0
                 if cap:
-                    sent = np.full(cap, n_pad * read_len, dtype=np.int32)
-                    sent[:m] = bad_pos
-                    bad_pos = sent
+                    sr = np.full(cap, n_pad, dtype=np.int32)
+                    sc = np.zeros(cap, dtype=np.int32)
+                    sr[:m] = bad_rows
+                    sc[:m] = bad_cols
+                    bad_rows, bad_cols = sr, sc
             out = query_packed_reads_device(
                 self.table,
                 jnp.asarray(packed),
-                jnp.asarray(bad_pos),
+                jnp.asarray(bad_rows),
+                jnp.asarray(bad_cols),
                 num_blocks=int(idx.num_blocks),
                 **geom,
             )

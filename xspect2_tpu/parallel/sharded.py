@@ -70,6 +70,13 @@ class ShardedClassifier:
         self.n_data = mesh.shape[DATA_AXIS]
         self.n_cls = mesh.shape[CLS_AXIS]
 
+        if index.fields_per_word > 1 and self.n_cls > 1:
+            raise ValueError(
+                "field-packed indices (<= 16 classes) interleave several "
+                "signature rows per word, so there is no class-word axis to "
+                "shard: use n_cls=1 and give every device to the data axis"
+            )
+
         # pad class words to a multiple of the cls-axis size; padding
         # word-columns are all-zero (their classes never hit)
         cw = index.class_words
@@ -164,7 +171,9 @@ class ShardedClassifier:
     def _build_step(self, num_chunks: int, max_records: int):
         idx = self.index
         cw_local = self.cw_local
-        num_classes_local = 32 * cw_local
+        num_classes_local = (
+            idx.num_classes if idx.fields_per_word > 1 else 32 * cw_local
+        )
         qb = make_query_body(
             k=idx.k,
             num_hashes=idx.num_hashes,
@@ -174,6 +183,7 @@ class ShardedClassifier:
             chunk=self.chunk,
             num_chunks=num_chunks,
             max_records=max_records,
+            fields_per_word=idx.fields_per_word,
         )
         head = self.svm_head
         num_real_classes = idx.num_classes
@@ -239,9 +249,12 @@ class ShardedClassifier:
             num_hashes=idx.num_hashes,
             rows_per_block=idx.rows_per_block,
             class_words=cw_local,
-            num_classes=32 * cw_local,
+            num_classes=(
+                idx.num_classes if idx.fields_per_word > 1 else 32 * cw_local
+            ),
             step=step,
             reads_per_chunk=reads_per_chunk,
+            fields_per_word=idx.fields_per_word,
         )
 
         num_blocks = int(idx.num_blocks)  # static: folds the hash modulo
