@@ -5,11 +5,14 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N}
 
 Workload (configs 1/2/4 of BASELINE.json): 150 bp reads batched through a
-multi-species blocked bit-sliced filter index (k=21, fpr=0.01, 7 hashes),
-per-read hit counting and per-read argmax classification — the reference's
-``xspect classify species`` hot loop (reference:
+multi-species blocked bit-sliced filter index (k=21, fpr=0.01, auto probe
+count — see core/blocked_index.py::pick_num_hashes), per-read hit counting
+and per-read argmax classification — the reference's ``xspect classify
+species`` hot loop (reference:
 src/xspect/models/probabilistic_filter_model.py:196-235, COBS search per
-record) re-expressed as a batched accelerator op.
+record) re-expressed as a batched accelerator op.  ~0.2% of simulated
+reads carry an N base so the benched wire includes a representative
+invalid-base patch list (the production predict path always pays it).
 
 ``vs_baseline`` compares against a single-core CPU implementation of the
 same index query (vectorized numpy membership path — an optimistic stand-
@@ -46,7 +49,7 @@ def build_or_load_index(num_classes: int, genome_mb: float, seed: int = 42):
     from xspect2_tpu.core import dna
     from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
 
-    tag = f"c{num_classes}_m{genome_mb}_s{seed}"
+    tag = f"c{num_classes}_m{genome_mb}_s{seed}_v2"
     idx_dir = CACHE_DIR / f"index_{tag}"
     genomes_path = CACHE_DIR / f"genomes_{tag}.npy"
     genome_len = int(genome_mb * 1e6)
@@ -65,7 +68,11 @@ def build_or_load_index(num_classes: int, genome_mb: float, seed: int = 42):
         [f"{1000 + i}" for i in range(num_classes)],
         genome_len - K + 1,
         fpr=0.01,
-        num_hashes=7,
+        num_hashes=None,  # auto: speed-optimal probe count at equal fpr
+    )
+    log(
+        f"geometry: num_hashes={index.num_hashes} "
+        f"fields_per_word={index.fields_per_word}"
     )
     t0 = time.time()
     for ci in range(num_classes):
@@ -93,7 +100,12 @@ def simulate_reads(genomes: np.ndarray, num_reads: int, seed: int = 7):
     # half the reads on the reverse strand
     rc = rng.random(num_reads) < 0.5
     reads[rc] = 3 - reads[rc, ::-1]
-    return reads.astype(np.uint8), cls
+    reads = reads.astype(np.uint8)
+    # ~0.2% of reads carry one N base: the benched wire then includes a
+    # representative invalid-base patch list, like production predicts
+    bad = rng.random(num_reads) < 0.002
+    reads[bad, rng.integers(0, READ_LEN, size=int(bad.sum()))] = 255
+    return reads, cls
 
 
 def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
@@ -108,8 +120,12 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
     import jax
     import jax.numpy as jnp
 
-    from xspect2_tpu import native
-    from xspect2_tpu.ops.query import DeviceQueryEngine
+    from xspect2_tpu import profiling
+    from xspect2_tpu.ops.query import (
+        DeviceQueryEngine,
+        pack_reads_wire,
+        query_packed_reads_device,
+    )
 
     engine = DeviceQueryEngine(index)
     num_reads = len(reads)
@@ -124,8 +140,6 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
         f"(reads_per_chunk={reads_per_chunk})"
     )
 
-    from xspect2_tpu.ops.query import query_packed_reads_device
-
     geom = dict(
         read_len=READ_LEN,
         k=index.k,
@@ -135,45 +149,48 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
         num_classes=index.num_classes,
         step=1,
         reads_per_chunk=reads_per_chunk,
+        fields_per_word=index.fields_per_word,
     )
     nb = int(index.num_blocks)
-    no_patch = jnp.asarray(np.zeros(0, dtype=np.int32))
-
-    def stage(b):
-        packed, _ = native.pack_2bit(b)
-        return jax.device_put(packed)
 
     t0 = time.time()
-    dp0 = stage(batches[0])
-    out = jnp.sum(query_packed_reads_device(engine.table, dp0, no_patch, num_blocks=nb, **geom))
-    _ = int(np.asarray(out))
+    out = engine.count_hits_reads(
+        batches[0], reads_per_chunk=reads_per_chunk, block=False
+    )
+    _ = int(np.asarray(jnp.sum(out)))
     log(f"warmup (compile) {time.time() - t0:.1f}s")
 
-    # end-to-end: pack (native) + transfer + query + on-device argmax
-    # per batch; async dispatch pipelines compute behind the next
-    # batch's transfer; the final host fetch closes the timing
+    # end-to-end through the PRODUCTION wire path: native 2-bit pack +
+    # invalid-base patch list + transfer + query + on-device argmax per
+    # batch; async dispatch pipelines compute behind the next batch's
+    # packing/transfer; the final host fetch closes the timing
+    profiling.reset()
     t0 = time.time()
     pred_parts = []
     for b in batches:
-        dp = stage(b)
-        hits_dev = query_packed_reads_device(
-            engine.table, dp, no_patch, num_blocks=nb, **geom
+        hits_dev = engine.count_hits_reads(
+            b, reads_per_chunk=reads_per_chunk, block=False
         )
         pred_parts.append(jnp.argmax(hits_dev, axis=1).astype(jnp.uint8))
-    preds = np.concatenate([np.asarray(p) for p in pred_parts])
+    preds = np.concatenate([np.asarray(p)[: len(b)] for p, b in zip(pred_parts, batches)])
     e2e_s = time.time() - t0
     total_reads = sum(len(b) for b in batches)
     e2e_rps = total_reads / e2e_s
+    log("per-phase attribution (e2e loop):", profiling.report_json())
 
-    # device-only: input resident on device, repeated dispatch, closed
-    # by a scalar fetch (forces the full chain; adds one ~25 ms RPC)
-    dp = stage(batches[0]).block_until_ready()
-    out = query_packed_reads_device(engine.table, dp, no_patch, num_blocks=nb, **geom)
+    # device-only: input resident on device (incl. a representative
+    # invalid-base patch list), repeated dispatch, closed by a scalar
+    # fetch (forces the full chain; adds one ~25 ms RPC)
+    packed, bad_r, bad_c = pack_reads_wire(batches[0], index.k, batch_reads)
+    dp = jax.device_put(packed).block_until_ready()
+    dbr = jax.device_put(bad_r).block_until_ready()
+    dbc = jax.device_put(bad_c).block_until_ready()
+    out = query_packed_reads_device(engine.table, dp, dbr, dbc, num_blocks=nb, **geom)
     _ = int(np.asarray(jnp.sum(out)))
     n_iter = 6
     t0 = time.time()
     for _ in range(n_iter):
-        out = query_packed_reads_device(engine.table, dp, no_patch, num_blocks=nb, **geom)
+        out = query_packed_reads_device(engine.table, dp, dbr, dbc, num_blocks=nb, **geom)
     _ = int(np.asarray(jnp.sum(out)))
     dev_s = (time.time() - t0) / n_iter
     dev_rps = batch_reads / dev_s
@@ -258,7 +275,10 @@ def main():
                 # the STRONGEST single-core CPU baseline (our own native
                 # C++ batch query); the reference's per-record
                 # Python->COBS style path is the python figure.
-                "metric": "reads/sec/chip (species classification, 150bp reads)",
+                "metric": (
+                    "reads/sec/chip, device-side (species classification, "
+                    "150bp reads; excludes dev-tunnel host link — see extra)"
+                ),
                 "value": round(dev_rps),
                 "unit": "reads/s",
                 "vs_baseline": round(dev_rps / cpu_rps, 1),

@@ -17,6 +17,7 @@ over a device mesh, see :mod:`xspect2_tpu.parallel`).
 
 import json
 import math
+import os
 from pathlib import Path
 from typing import Any, Iterable, Iterator
 
@@ -275,13 +276,29 @@ class ProbabilisticFilterModel:
 
         mat = codes.reshape(n, length)
         rpc = 4096
-        n_pad = rpc * _next_pow2(max(1, -(-n // rpc)))
-        if n_pad != n:
-            pad = np.full((n_pad - n, length), 255, dtype=np.uint8)
-            mat = np.concatenate([mat, pad])
-        counts = self.engine.count_hits_reads(
-            mat, step=step, reads_per_chunk=rpc
-        )[:n]
+        # bound device-resident batch size: a multi-GB FASTQ streams in
+        # bounded slices (pipelined with block=False — the next slice's
+        # host packing overlaps the previous slice's device execution)
+        # instead of materializing one [n, L] array in HBM
+        max_bases = int(
+            os.environ.get("XSPECT_MAX_FAST_BATCH_BASES", 1 << 28)
+        )
+        cap = max(rpc, (max_bases // length) // rpc * rpc)
+        pending = []
+        for s0 in range(0, n, cap):
+            sl = mat[s0 : s0 + cap]
+            m = len(sl)
+            m_pad = rpc * _next_pow2(max(1, -(-m // rpc)))
+            if m_pad != m:
+                pad = np.full((m_pad - m, length), 255, dtype=np.uint8)
+                sl = np.concatenate([sl, pad])
+            out = self.engine.count_hits_reads(
+                sl, step=step, reads_per_chunk=rpc, block=False
+            )
+            pending.append((out, m))
+        counts = np.concatenate(
+            [np.asarray(out)[:m] for out, m in pending]
+        ).astype(np.int64)
 
         nk = math.ceil((length - self.k + 1) / step)
         hits: dict[str, dict[str, int]] = {}

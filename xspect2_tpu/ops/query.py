@@ -601,6 +601,49 @@ def query_packed_reads_device(
     return make_reads_query_body(**geom)(table2d, codes, num_blocks)
 
 
+def pack_reads_wire(reads: np.ndarray, k: int, n_pad: int):
+    """2-bit-pack a [N, L] code matrix for the packed device wire.
+
+    Returns ``(packed [n_pad, ceil(L/4)], bad_rows, bad_cols)``: the
+    native-packed payload padded to ``n_pad`` rows plus the fixed-size
+    invalid-base patch list ((read, base) int32 pairs; sentinel entries
+    point one row past the end and are dropped by the device scatter).
+    Padding rows are poisoned at every k-th base so each k-wide window
+    contains at least one invalid base and contributes 0 hits.
+    """
+    from xspect2_tpu import native
+
+    n, read_len = reads.shape
+    packed, bad_flags = native.pack_2bit(reads)
+    if n_pad != n:
+        pad = np.zeros((n_pad - n, packed.shape[1]), dtype=np.uint8)
+        packed = np.concatenate([packed, pad])
+    flagged = np.nonzero(bad_flags)[0]
+    if len(flagged):
+        sub = reads[flagged].astype(np.uint8) > 3
+        rr, cc = np.nonzero(sub)
+        bad_rows = flagged[rr].astype(np.int32)
+        bad_cols = cc.astype(np.int32)
+    else:
+        bad_rows = np.zeros(0, dtype=np.int32)
+        bad_cols = np.zeros(0, dtype=np.int32)
+    if n_pad != n:
+        pad_rows = np.arange(n, n_pad, dtype=np.int32)
+        offs = np.arange(0, read_len, k, dtype=np.int32)
+        bad_rows = np.concatenate([bad_rows, np.repeat(pad_rows, len(offs))])
+        bad_cols = np.concatenate([bad_cols, np.tile(offs, len(pad_rows))])
+    # pad patch list to a power of two to bound jit variants
+    m = len(bad_rows)
+    cap = _next_pow2(max(8, m)) if m else 0
+    if cap:
+        sr = np.full(cap, n_pad, dtype=np.int32)
+        sc = np.zeros(cap, dtype=np.int32)
+        sr[:m] = bad_rows
+        sc[:m] = bad_cols
+        bad_rows, bad_cols = sr, sc
+    return packed, bad_rows, bad_cols
+
+
 class DeviceQueryEngine:
     """Holds a device-resident index table and runs batched queries."""
 
@@ -689,45 +732,8 @@ class DeviceQueryEngine:
             fields_per_word=idx.fields_per_word,
         )
         if wire == "packed":
-            from xspect2_tpu import native
-
             with profiling.phase("query.pack"):
-                packed, bad_flags = native.pack_2bit(reads)
-                if n_pad != n:
-                    # padding rows unpack to all-A; mark them invalid
-                    # via the patch list below so they contribute 0 hits
-                    pad = np.zeros(
-                        (n_pad - n, packed.shape[1]), dtype=np.uint8
-                    )
-                    packed = np.concatenate([packed, pad])
-                flagged = np.nonzero(bad_flags)[0]
-                if len(flagged):
-                    sub = reads[flagged].astype(np.uint8) > 3
-                    rr, cc = np.nonzero(sub)
-                    bad_rows = flagged[rr].astype(np.int32)
-                    bad_cols = cc.astype(np.int32)
-                else:
-                    bad_rows = np.zeros(0, dtype=np.int32)
-                    bad_cols = np.zeros(0, dtype=np.int32)
-                if n_pad != n:
-                    # poisoning every k-th base of a padding row suffices:
-                    # each k-wide window then contains >= 1 invalid base
-                    pad_rows = np.arange(n, n_pad, dtype=np.int32)
-                    offs = np.arange(0, read_len, idx.k, dtype=np.int32)
-                    pr = np.repeat(pad_rows, len(offs))
-                    pc = np.tile(offs, len(pad_rows))
-                    bad_rows = np.concatenate([bad_rows, pr])
-                    bad_cols = np.concatenate([bad_cols, pc])
-                # pad patch list to a power of two to bound jit variants;
-                # sentinel = one row past the end (dropped by mode="drop")
-                m = len(bad_rows)
-                cap = _next_pow2(max(8, m)) if m else 0
-                if cap:
-                    sr = np.full(cap, n_pad, dtype=np.int32)
-                    sc = np.zeros(cap, dtype=np.int32)
-                    sr[:m] = bad_rows
-                    sc[:m] = bad_cols
-                    bad_rows, bad_cols = sr, sc
+                packed, bad_rows, bad_cols = pack_reads_wire(reads, idx.k, n_pad)
             out = query_packed_reads_device(
                 self.table,
                 jnp.asarray(packed),
