@@ -44,31 +44,54 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_or_load_index(num_classes: int, genome_mb: float, seed: int = 42):
-    """Synthetic multi-species index + genomes (disk-cached)."""
+def build_or_load_index(
+    num_classes: int,
+    genome_mb: float,
+    seed: int = 42,
+    reference_geometry: bool = False,
+):
+    """Synthetic multi-species index + genomes (disk-cached).
+
+    ``reference_geometry=True`` builds the COBS-like design point the
+    reference engine would use for this workload (7 hashes, classic
+    one-word-per-32-classes layout, no field packing): the CPU baseline
+    is measured against THAT index, so framework layout improvements
+    speed up the framework's number, not the baseline's.
+    """
     from xspect2_tpu.core import dna
     from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
 
-    tag = f"c{num_classes}_m{genome_mb}_s{seed}_v2"
+    geo = "ref" if reference_geometry else "v2"
+    tag = f"c{num_classes}_m{genome_mb}_s{seed}_{geo}"
     idx_dir = CACHE_DIR / f"index_{tag}"
-    genomes_path = CACHE_DIR / f"genomes_{tag}.npy"
+    genomes_path = CACHE_DIR / f"genomes_c{num_classes}_m{genome_mb}_s{seed}.npy"
     genome_len = int(genome_mb * 1e6)
 
-    if idx_dir.exists() and genomes_path.exists():
-        log(f"loading cached index {idx_dir}")
-        return BlockedBitSlicedIndex.load(idx_dir), np.load(genomes_path)
+    rng = np.random.default_rng(seed)
+    if genomes_path.exists():
+        genomes = np.load(genomes_path)
+    else:
+        genomes = rng.integers(
+            0, 4, size=(num_classes, genome_len), dtype=np.uint8
+        )
+        CACHE_DIR.mkdir(exist_ok=True)
+        np.save(genomes_path, genomes)
 
-    log(f"building index: {num_classes} classes x {genome_len} bp ...")
+    if idx_dir.exists():
+        log(f"loading cached index {idx_dir}")
+        return BlockedBitSlicedIndex.load(idx_dir), genomes
+
+    log(f"building {geo} index: {num_classes} classes x {genome_len} bp ...")
     from xspect2_tpu import native
 
-    rng = np.random.default_rng(seed)
-    genomes = rng.integers(0, 4, size=(num_classes, genome_len), dtype=np.uint8)
     index = BlockedBitSlicedIndex.create(
         K,
         [f"{1000 + i}" for i in range(num_classes)],
         genome_len - K + 1,
         fpr=0.01,
-        num_hashes=None,  # auto: speed-optimal probe count at equal fpr
+        # auto: speed-optimal probe count at equal fpr
+        num_hashes=7 if reference_geometry else None,
+        fields_per_word=1 if reference_geometry else None,
     )
     log(
         f"geometry: num_hashes={index.num_hashes} "
@@ -84,7 +107,6 @@ def build_or_load_index(num_classes: int, genome_mb: float, seed: int = 42):
         log(f"  class {ci + 1}/{num_classes} inserted ({time.time() - t0:.0f}s)")
     CACHE_DIR.mkdir(exist_ok=True)
     index.save(idx_dir)
-    np.save(genomes_path, genomes)
     log(f"index built in {time.time() - t0:.0f}s, {index.nbytes / 1e6:.0f} MB")
     return index, genomes
 
@@ -204,30 +226,42 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
     return e2e_rps, dev_rps, preds
 
 
-def bench_cpu_baseline(index, reads, sample=512):
+def bench_cpu_baseline(index, reads, sample=512, repeats=5):
     """Single-core CPU implementations of the same query.
 
     Returns (native_rps, python_rps): the native C++ path is the honest
     stand-in for the reference's COBS C++ search; the python/numpy path
     approximates the reference's per-record Python overhead regime.
+    The shared dev host shows ~2x run-to-run CPU variance, so each rate
+    is the median of ``repeats`` timed passes.
     """
     from xspect2_tpu import native
     from xspect2_tpu.core import dna
 
     native_rps = None
     if native.available():
-        n = sample * 4
-        t0 = time.time()
-        for row in reads[:n]:
-            native.count_hits(index, row)
-        native_rps = n / (time.time() - t0)
-        log(f"cpu baseline native C++ ({n} reads): {native_rps:,.0f} reads/s")
+        n = sample * 2
+        rates = []
+        for _ in range(repeats):
+            t0 = time.time()
+            for row in reads[:n]:
+                native.count_hits(index, row)
+            rates.append(n / (time.time() - t0))
+        native_rps = float(np.median(rates))
+        log(
+            f"cpu baseline native C++ ({n} reads x{repeats}): "
+            f"median {native_rps:,.0f} reads/s "
+            f"(min {min(rates):,.0f}, max {max(rates):,.0f})"
+        )
 
-    t0 = time.time()
-    for row in reads[:sample]:
-        hi, lo, valid = dna.canonical_kmers(row, K)
-        index.count_hits_host(hi, lo, valid)
-    python_rps = sample / (time.time() - t0)
+    rates = []
+    for _ in range(max(1, repeats // 2)):
+        t0 = time.time()
+        for row in reads[:sample]:
+            hi, lo, valid = dna.canonical_kmers(row, K)
+            index.count_hits_host(hi, lo, valid)
+        rates.append(sample / (time.time() - t0))
+    python_rps = float(np.median(rates))
     log(f"cpu baseline python/numpy ({sample} reads): {python_rps:,.0f} reads/s")
     return native_rps or python_rps, python_rps
 
@@ -262,7 +296,38 @@ def main():
     acc = float((preds[:n_eval] == true_cls[:n_eval]).mean())
     log(f"argmax accuracy vs source genome: {acc:.4f}")
 
-    cpu_rps, python_rps = bench_cpu_baseline(index, reads)
+    # baseline measured on the REFERENCE design point (h=7, classic
+    # layout): framework layout improvements must not strengthen it
+    ref_index, _ = build_or_load_index(
+        args.classes, args.genome_mb, reference_geometry=True
+    )
+    cpu_rps, python_rps = bench_cpu_baseline(ref_index, reads)
+    cpu_packed_rps, _ = bench_cpu_baseline(index, reads, sample=256)
+    log(f"cpu native on packed layout (extra): {cpu_packed_rps:,.0f} reads/s")
+
+    # multi-process scaling efficiency (CPU mesh, core-pinned; the
+    # 2-host proxy available in this environment — tools/bench_scaling.py)
+    scaling = {}
+    if not args.quick:
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).resolve().parent / "tools" / "bench_scaling.py"),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=540,
+            )
+            if r.returncode == 0:
+                scaling = json.loads(r.stdout.strip().splitlines()[-1])
+                log(f"scaling: {scaling}")
+            else:
+                scaling = {"scaling_error": r.stderr[-300:]}
+        except Exception as exc:  # never fail the headline bench
+            scaling = {"scaling_error": str(exc)[:300]}
 
     print(
         json.dumps(
@@ -285,6 +350,9 @@ def main():
                 "extra": {
                     "e2e_through_dev_tunnel_reads_per_s": round(e2e_rps),
                     "cpu_1core_native_reads_per_s": round(cpu_rps),
+                    "cpu_1core_native_packed_layout_reads_per_s": round(
+                        cpu_packed_rps
+                    ),
                     "cpu_1core_python_reads_per_s": round(python_rps),
                     "vs_reference_style_path": round(dev_rps / python_rps, 1),
                     "argmax_accuracy": round(acc, 4),
@@ -294,6 +362,9 @@ def main():
                     "kmer_lookups_per_s": round(
                         dev_rps * (READ_LEN - K + 1)
                     ),
+                    "num_hashes": index.num_hashes,
+                    "fields_per_word": index.fields_per_word,
+                    **scaling,
                 },
             }
         )

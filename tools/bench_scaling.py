@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Multi-process scaling-efficiency benchmark (CPU mesh).
+
+BASELINE.md targets ">=85% scaling efficiency at 2 hosts".  Real
+multi-host TPU hardware is not available in this environment, so the
+honest proxy is the framework's true 2-process distributed runtime on
+CPU: the SAME global-mesh code path that spans hosts (JAX distributed
+runtime + shard_map collectives, xspect2_tpu/parallel/distributed.py),
+with each process pinned to a dedicated physical core via ``taskset``
+so the two processes cannot share compute.  Fixed total work, data axis
+= process count:
+
+    efficiency = global_reads_per_s(2 proc) / (2 * reads_per_s(1 proc))
+
+Also reports the single-process SPMD partition overhead at 8 virtual
+devices (same host cores, so the ideal ratio vs 1 device is 1.0; the
+deficit is partitioning + collective overhead).
+
+Prints ONE JSON line.  Usage: python tools/bench_scaling.py [--reads N]
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent(
+    """
+    import json, os, sys, time
+    sys.path.insert(0, os.environ["XS_ROOT"])
+    os.environ["XSPECT_JAX_PLATFORM"] = "cpu"
+
+    from xspect2_tpu.parallel import distributed
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    nproc = int(os.environ["XS_NPROC"])
+    if nproc > 1:
+        distributed.initialize(
+            coordinator_address=os.environ["XS_COORD"],
+            num_processes=nproc,
+            process_id=int(os.environ["XS_PID"]),
+        )
+
+    import numpy as np
+    from xspect2_tpu.core import dna
+    from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+    from xspect2_tpu.parallel import ShardedClassifier, make_mesh
+
+    rng = np.random.default_rng(5)
+    k, C, glen = 21, 64, 20000
+    names = [f"c{i:02d}" for i in range(C)]
+    genomes = rng.integers(0, 4, size=(C, glen), dtype=np.uint8)
+    idx = BlockedBitSlicedIndex.create(k, names, glen, fpr=0.01, num_hashes=4)
+    for ci in range(C):
+        hi, lo, v = dna.canonical_kmers(genomes[ci], k)
+        idx.insert_kmers(ci, hi, lo, v)
+
+    n = int(os.environ["XS_READS"])  # fixed TOTAL work
+    cls = rng.integers(0, C, size=n)
+    pos = rng.integers(0, glen - 150, size=n)
+    reads = genomes[cls[:, None], pos[:, None] + np.arange(150)[None, :]]
+    reads = reads.astype(np.uint8)
+
+    n_data = len(jax.devices())
+    mesh = make_mesh(n_data=n_data, n_cls=1)
+    # throughput mode: each process keeps its own data-shard rows (no
+    # cross-process result replication — hosts handle their own reads)
+    clf = ShardedClassifier(idx, mesh, chunk=2048, replicate_out=False)
+    rpc = 512
+    hits = clf.count_hits_reads(reads, reads_per_chunk=rpc)  # warmup+compile
+    assert hits.shape[0] >= n // max(1, nproc)
+    iters = int(os.environ.get("XS_ITERS", "3"))
+    t0 = time.time()
+    for _ in range(iters):
+        hits = clf.count_hits_reads(reads, reads_per_chunk=rpc)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({"pid": int(os.environ.get("XS_PID", 0)),
+                      "reads_per_s": n / dt, "n_devices": n_data}))
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(nproc: int, reads: int, devices_per_proc: int = 1, pin: bool = True):
+    """Launch nproc pinned workers over one global mesh; min reads/s."""
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            XS_ROOT=str(ROOT),
+            XS_COORD=f"127.0.0.1:{port}",
+            XS_PID=str(pid),
+            XS_NPROC=str(nproc),
+            XS_READS=str(reads),
+            JAX_PLATFORMS="cpu",
+            XSPECT_JAX_PLATFORM="cpu",
+            XLA_FLAGS=(
+                f"--xla_force_host_platform_device_count={devices_per_proc}"
+            ),
+        )
+        cmd = [sys.executable, "-c", WORKER]
+        if pin:
+            cmd = ["taskset", "-c", str(pid)] + cmd
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+        )
+    results = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=560)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{stdout}\n{stderr[-2000:]}")
+        results.append(json.loads(stdout.strip().splitlines()[-1]))
+    # collectives couple the processes; the slowest report is the
+    # conservative global rate
+    return min(r["reads_per_s"] for r in results)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=32768)
+    ap.add_argument("--skip-spmd-overhead", action="store_true")
+    args = ap.parse_args()
+
+    have_taskset = (
+        subprocess.run(
+            ["taskset", "-c", "0", "true"], capture_output=True
+        ).returncode
+        == 0
+    )
+    # the shared dev host shows ~2x transient CPU stalls; best-of-2
+    # attempts per configuration filters them out
+    r1 = max(_run(1, args.reads, pin=have_taskset) for _ in range(2))
+    r2 = max(_run(2, args.reads, pin=have_taskset) for _ in range(2))
+    eff = r2 / (2 * r1)
+    out = {
+        "reads_per_s_1proc_1core": round(r1),
+        "reads_per_s_2proc_2core": round(r2),
+        "scaling_efficiency_2proc": round(eff, 3),
+        "core_pinned": have_taskset,
+    }
+    if not args.skip_spmd_overhead:
+        r8 = _run(1, args.reads, devices_per_proc=8, pin=have_taskset)
+        # same pinned core, 8-way partitioned program: ideal ratio 1.0
+        out["spmd_8dev_overhead_ratio"] = round(r8 / r1, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

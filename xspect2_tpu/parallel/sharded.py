@@ -62,6 +62,7 @@ class ShardedClassifier:
         mesh,
         svm_head: JaxSVMHead | None = None,
         chunk: int = DEFAULT_CHUNK,
+        replicate_out: bool | None = None,
     ):
         self.index = index
         self.mesh = mesh
@@ -111,10 +112,17 @@ class ShardedClassifier:
         self.table_sharding = NamedSharding(mesh, P(None, CLS_AXIS, None))
         self.table3 = _make_global(table3, self.table_sharding)
         self._step_cache: dict = {}
-        # multi-host runs replicate outputs (all_gather over the data
-        # axis in-program) so every process can fetch the full result;
-        # single-process keeps outputs data-sharded (no extra collective)
-        self._replicate_out = jax.process_count() > 1
+        # multi-host runs replicate outputs by default (all_gather over
+        # the data axis in-program) so every process can fetch the full
+        # result; single-process keeps outputs data-sharded (no extra
+        # collective).  replicate_out=False on multi-host switches
+        # count_hits_reads to return only this process's data-shard rows
+        # — the throughput mode for host-local result handling (each
+        # host writes its own reads' results, like the reference's
+        # per-sample process fan-out)
+        self._replicate_out = (
+            jax.process_count() > 1 if replicate_out is None else replicate_out
+        )
 
     # ------------------------------------------------------------------ host-side batching
 
@@ -307,6 +315,14 @@ class ShardedClassifier:
             reads, NamedSharding(self.mesh, P(DATA_AXIS, None))
         )
         hits = step_fn(self.table3, reads_sharded)
+        import jax as _jax
+
+        if not self._replicate_out and _jax.process_count() > 1:
+            # local-rows mode: assemble only this process's data shards
+            # (row order preserved; includes this shard's padding rows)
+            shards = sorted(hits.addressable_shards, key=lambda s: s.index[0].start or 0)
+            local = np.concatenate([np.asarray(s.data) for s in shards])
+            return local[:, : self.index.num_classes].astype(np.int64)
         return np.asarray(hits)[:n, : self.index.num_classes].astype(np.int64)
 
     def classify(self, records, step: int = 1):
