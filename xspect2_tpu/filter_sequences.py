@@ -1,14 +1,57 @@
 """Sequence filtering by genus/species score thresholds.
 
-Mirrors the reference module (reference: src/xspect/filter_sequences.py):
-classify per record, threshold scores (or argmax with threshold=-1),
-write the passing records to a new FASTA.
+Behavior matches the reference module (reference:
+src/xspect/filter_sequences.py): classify each input file per record,
+keep records whose score for the target label passes the threshold
+(or wins the per-record argmax when the threshold is -1), and write the
+passing records to a new FASTA.  Both public entry points share one
+driver; they differ only in which model is loaded and which label is
+filtered on.
 """
 
 from pathlib import Path
 
 from xspect2_tpu.file_io import filter_sequences, prepare_input_output_paths
 from xspect2_tpu.model_management import get_genus_model_path, get_species_model_path
+
+
+def _filter_inputs_with_model(
+    model,
+    label: str,
+    input_path: Path,
+    output_path: Path,
+    threshold: float,
+    classification_output_path: Path | None,
+    sparse_sampling_step: int,
+    what: str,
+) -> None:
+    """Classify every input file with ``model`` and write the records
+    whose ``label`` score passes ``threshold`` to the output FASTA."""
+    input_paths, get_output_path = prepare_input_output_paths(input_path)
+
+    for idx, current_path in enumerate(input_paths):
+        result = model.predict(current_path, step=sparse_sampling_step)
+        result.input_source = current_path.name
+
+        if classification_output_path:
+            cls_out = get_output_path(idx, classification_output_path)
+            result.save(cls_out)
+            print(
+                f"Saved classification results from {current_path.name} "
+                f"as {cls_out.name}"
+            )
+
+        kept_ids = result.get_filtered_subsequence_labels(label, threshold)
+        if not kept_ids:
+            print(f"No sequences found for the given {what} in {current_path.name}.")
+            continue
+
+        filtered_out = get_output_path(idx, output_path)
+        filter_sequences(current_path, filtered_out, kept_ids)
+        print(
+            f"Saved filtered sequences from {current_path.name} "
+            f"as {filtered_out.name}"
+        )
 
 
 def filter_species(
@@ -23,32 +66,17 @@ def filter_species(
     """Filter sequences whose species score passes the threshold (or argmax)."""
     from xspect2_tpu.models.svm_model import ProbabilisticFilterSVMModel
 
-    species_model = ProbabilisticFilterSVMModel.load(
-        get_species_model_path(model_genus)
+    model = ProbabilisticFilterSVMModel.load(get_species_model_path(model_genus))
+    _filter_inputs_with_model(
+        model,
+        model_species,
+        input_path,
+        output_path,
+        threshold,
+        classification_output_path,
+        sparse_sampling_step,
+        what="species",
     )
-    input_paths, get_output_path = prepare_input_output_paths(input_path)
-
-    for idx, current_path in enumerate(input_paths):
-        result = species_model.predict(current_path, step=sparse_sampling_step)
-        result.input_source = current_path.name
-
-        if classification_output_path:
-            cls_out = get_output_path(idx, classification_output_path)
-            result.save(cls_out)
-            print(
-                f"Saved classification results from {current_path.name} as {cls_out.name}"
-            )
-
-        included_ids = result.get_filtered_subsequence_labels(model_species, threshold)
-        if not included_ids:
-            print(f"No sequences found for the given species in {current_path.name}.")
-            continue
-
-        filter_output_path = get_output_path(idx, output_path)
-        filter_sequences(current_path, filter_output_path, included_ids)
-        print(
-            f"Saved filtered sequences from {current_path.name} as {filter_output_path.name}"
-        )
 
 
 def filter_genus(
@@ -62,29 +90,14 @@ def filter_genus(
     """Filter sequences whose genus score passes the threshold."""
     from xspect2_tpu.models.single_filter_model import ProbabilisticSingleFilterModel
 
-    genus_model = ProbabilisticSingleFilterModel.load(
-        get_genus_model_path(model_genus)
+    model = ProbabilisticSingleFilterModel.load(get_genus_model_path(model_genus))
+    _filter_inputs_with_model(
+        model,
+        model_genus,
+        input_path,
+        output_path,
+        threshold,
+        classification_output_path,
+        sparse_sampling_step,
+        what="genus",
     )
-    input_paths, get_output_path = prepare_input_output_paths(input_path)
-
-    for idx, current_path in enumerate(input_paths):
-        result = genus_model.predict(current_path, step=sparse_sampling_step)
-        result.input_source = current_path.name
-
-        if classification_output_path:
-            cls_out = get_output_path(idx, classification_output_path)
-            result.save(cls_out)
-            print(
-                f"Saved classification results from {current_path.name} as {cls_out.name}"
-            )
-
-        included_ids = result.get_filtered_subsequence_labels(model_genus, threshold)
-        if not included_ids:
-            print(f"No sequences found for the given genus in {current_path.name}.")
-            continue
-
-        filter_output_path = get_output_path(idx, output_path)
-        filter_sequences(current_path, filter_output_path, included_ids)
-        print(
-            f"Saved filtered sequences from {current_path.name} as {filter_output_path.name}"
-        )

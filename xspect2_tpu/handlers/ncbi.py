@@ -1,38 +1,53 @@
 """NCBI Datasets v2 REST client.
 
-Same surface and behavior as the reference handler
-(reference: src/xspect/handlers/ncbi.py): rate limiting (5 rps, 10 rps
-with API key), genus-taxid validation (rank GENUS, bacteria lineage),
-species subtree listing, quality-ranked accession selection walking
-assembly levels reference -> complete -> chromosome -> scaffold ->
-contig with N50/atypical/ANI filters, bulk zip download, and single
-reference-genome download per taxid.
+Covers the reference handler's behavior surface (reference:
+src/xspect/handlers/ncbi.py): genus-taxid validation (rank GENUS,
+bacteria lineage), species subtree listing, quality-ranked accession
+selection walking assembly levels reference -> complete -> chromosome
+-> scaffold -> contig with N50/atypical/ANI filters, bulk zip download,
+and single reference-genome download per taxid.
 
-Network access is required; all methods raise normally on failure so
-callers can gate/degrade (the misclassification pipeline skips groups
-whose reference cannot be fetched).
+Structured around the framework's shared transport
+(:class:`~xspect2_tpu.handlers.http.HttpClient`): rate limiting and
+exponential-backoff retries are transport properties, report filtering
+is a predicate over dataset reports, and the quality walk is a fold
+over :data:`QUALITY_ORDER`.  The API host is overridable
+(``XSPECT_NCBI_URL``) so tests run against a local mock server.
 """
 
 import logging
+import os
 import shutil
-import time
 import zipfile
 from enum import Enum
 from pathlib import Path
+from urllib.parse import urlencode
 
-import requests
+from xspect2_tpu.handlers.http import HttpClient
 
 logger = logging.getLogger("xspect2_tpu.ncbi")
 
+BACTERIA_TAX_ID = 2
+
 
 class AssemblyLevel(Enum):
-    """Assembly quality levels, best first."""
+    """Assembly quality levels."""
 
     REFERENCE = "reference"
     COMPLETE_GENOME = "complete_genome"
     CHROMOSOME = "chromosome"
     SCAFFOLD = "scaffold"
     CONTIG = "contig"
+
+
+#: best-first walk order for quality-ranked accession selection
+QUALITY_ORDER = (
+    AssemblyLevel.REFERENCE,
+    AssemblyLevel.COMPLETE_GENOME,
+    AssemblyLevel.CHROMOSOME,
+    AssemblyLevel.SCAFFOLD,
+    AssemblyLevel.CONTIG,
+)
 
 
 class AssemblySource(Enum):
@@ -42,79 +57,76 @@ class AssemblySource(Enum):
     GENBANK = "genbank"
 
 
+def _report_passes(report: dict, min_n50: int, allow_inconclusive: bool) -> bool:
+    """Dataset-report quality predicate: contig N50 + ANI check status."""
+    try:
+        if report["assembly_stats"]["contig_n50"] < min_n50:
+            return False
+        if allow_inconclusive:
+            return True
+        ani = report["average_nucleotide_identity"]
+        return ani["taxonomy_check_status"] == "OK"
+    except (KeyError, TypeError):
+        return False
+
+
 class NCBIHandler:
     """Client for taxa metadata and assembly downloads from NCBI Datasets."""
 
-    def __init__(self, api_key: str | None = None):
+    def __init__(self, api_key: str | None = None, base_url: str | None = None):
         self.api_key = api_key
-        self.base_url = "https://api.ncbi.nlm.nih.gov/datasets/v2"
-        self.last_request_time = 0.0
-        # NCBI allows 10 rps with an API key, otherwise 5 rps
-        self.min_interval = 1 / 10 if api_key else 1 / 5
-
-    def _enforce_rate_limit(self) -> None:
-        now = time.time()
-        elapsed = now - self.last_request_time
-        if elapsed < self.min_interval:
-            time.sleep(self.min_interval - elapsed)
-        self.last_request_time = now
-
-    def _make_request(self, endpoint: str, timeout: int = 15) -> dict:
-        self._enforce_rate_limit()
-        endpoint = endpoint if endpoint.startswith("/") else "/" + endpoint
-        headers = {"api-key": self.api_key} if self.api_key else {}
-        response = requests.get(
-            self.base_url + endpoint, headers=headers, timeout=timeout
+        base_url = base_url or os.environ.get(
+            "XSPECT_NCBI_URL", "https://api.ncbi.nlm.nih.gov/datasets/v2"
         )
-        response.raise_for_status()
-        return response.json()
+        # NCBI allows 10 rps with an API key, otherwise 5 rps
+        self.http = HttpClient(
+            base_url,
+            min_interval=1 / 10 if api_key else 1 / 5,
+            headers={"api-key": api_key} if api_key else None,
+        )
 
     # ------------------------------------------------------------------ taxonomy
 
     def get_genus_taxon_id(self, genus: str) -> int:
         """Validate a genus name and return its taxon id (must be a
         bacterial GENUS-rank taxon)."""
-        response = self._make_request(f"/taxonomy/taxon/{genus}")
+        payload = self.http.get_json(f"/taxonomy/taxon/{genus}")
         try:
-            taxonomy = response["taxonomy_nodes"][0]["taxonomy"]
-            if taxonomy["rank"] != "GENUS":
-                raise ValueError(f"Genus name {genus} is not a genus.")
-            if taxonomy["lineage"][2] != 2:
-                raise ValueError(f"Genus name {genus} does not belong to bacteria.")
-            return taxonomy["tax_id"]
-        except (IndexError, KeyError, TypeError) as e:
-            raise ValueError(f"Invalid genus name: {genus}") from e
+            node = payload["taxonomy_nodes"][0]["taxonomy"]
+        except (IndexError, KeyError, TypeError) as exc:
+            raise ValueError(f"Invalid genus name: {genus}") from exc
+        if node.get("rank") != "GENUS":
+            raise ValueError(f"Genus name {genus} is not a genus.")
+        lineage = node.get("lineage") or []
+        if len(lineage) < 3 or lineage[2] != BACTERIA_TAX_ID:
+            raise ValueError(f"Genus name {genus} does not belong to bacteria.")
+        return node["tax_id"]
 
     def get_species(self, genus_id: int) -> list[int]:
         """Species taxon ids of a genus (visible children of the subtree)."""
-        response = self._make_request(
-            f"/taxonomy/taxon/{genus_id}/filtered_subtree"
-        )
+        payload = self.http.get_json(f"/taxonomy/taxon/{genus_id}/filtered_subtree")
         try:
-            return response["edges"][str(genus_id)]["visible_children"]
-        except (IndexError, KeyError, TypeError) as e:
-            raise ValueError(f"Invalid genus id: {genus_id}") from e
+            return payload["edges"][str(genus_id)]["visible_children"]
+        except (IndexError, KeyError, TypeError) as exc:
+            raise ValueError(f"Invalid genus id: {genus_id}") from exc
 
     def get_taxon_names(self, taxon_ids: list[int]) -> dict[int, str]:
         """Organism names for up to 1000 taxon ids."""
-        if len(taxon_ids) > 1000:
-            raise ValueError("Maximum number of taxon ids is 1000.")
-        if len(taxon_ids) < 1:
-            raise ValueError("At least one taxon id is required.")
-
-        response = self._make_request(
-            f"/taxonomy/taxon/{','.join(map(str, taxon_ids))}?page_size=1000"
-        )
+        if not 1 <= len(taxon_ids) <= 1000:
+            raise ValueError("taxon_ids must contain between 1 and 1000 ids")
+        ids = ",".join(str(t) for t in taxon_ids)
+        payload = self.http.get_json(f"/taxonomy/taxon/{ids}?page_size=1000")
         try:
             names = {
                 int(node["taxonomy"]["tax_id"]): node["taxonomy"]["organism_name"]
-                for node in response["taxonomy_nodes"]
+                for node in payload["taxonomy_nodes"]
             }
-            if len(names) != len(taxon_ids):
-                raise ValueError("Not all taxon ids were found.")
-            return names
-        except (IndexError, KeyError, TypeError) as e:
-            raise ValueError(f"Invalid taxon ids: {taxon_ids}") from e
+        except (IndexError, KeyError, TypeError) as exc:
+            raise ValueError(f"Invalid taxon ids: {taxon_ids}") from exc
+        missing = set(taxon_ids) - set(names)
+        if missing:
+            raise ValueError(f"Not all taxon ids were found (missing {missing}).")
+        return names
 
     # ------------------------------------------------------------------ assemblies
 
@@ -131,41 +143,36 @@ class NCBIHandler:
         current_version_only: bool = True,
     ) -> list[str]:
         """Accessions of one assembly level, filtered by N50 and ANI status."""
-        endpoint = (
-            f"/genome/taxon/{taxon_id}/dataset_report?"
-            f"filters.tax_exact_match=false&"
-            f"filters.assembly_source={assembly_source.value}&"
-            f"filters.exclude_atypical={exclude_atypical}&"
-            f"filters.exclude_paired_reports={exclude_paired_reports}&"
-            f"filters.current_version_only={current_version_only}&"
-            f"page_size={count * 2}&"  # headroom for N50/ANI-filtered entries
-        )
-        endpoint += (
-            "filters.reference_only=true&"
-            if assembly_level == AssemblyLevel.REFERENCE
-            else f"filters.assembly_level={assembly_level.value}"
-        )
+        filters = {
+            "filters.tax_exact_match": "false",
+            "filters.assembly_source": assembly_source.value,
+            "filters.exclude_atypical": exclude_atypical,
+            "filters.exclude_paired_reports": exclude_paired_reports,
+            "filters.current_version_only": current_version_only,
+            # headroom for entries removed by the N50/ANI predicate
+            "page_size": count * 2,
+        }
+        if assembly_level == AssemblyLevel.REFERENCE:
+            filters["filters.reference_only"] = "true"
+        else:
+            filters["filters.assembly_level"] = assembly_level.value
+        query = urlencode(filters)
 
-        response = self._make_request(endpoint)
-        try:
-            accessions = [
-                report["accession"]
-                for report in response["reports"]
-                if report["assembly_stats"]["contig_n50"] >= min_n50
-                and (
-                    allow_inconclusive
-                    or report["average_nucleotide_identity"]["taxonomy_check_status"]
-                    == "OK"
-                )
-            ]
-        except (IndexError, KeyError, TypeError):
+        payload = self.http.get_json(
+            f"/genome/taxon/{taxon_id}/dataset_report?{query}"
+        )
+        reports = payload.get("reports") if isinstance(payload, dict) else None
+        if not reports:
             logger.debug(
-                "Could not get %s accessions for taxon %s. Skipping.",
-                assembly_level.value,
-                taxon_id,
+                "no %s reports for taxon %s", assembly_level.value, taxon_id
             )
             return []
-        return accessions[:count]
+        passing = [
+            r["accession"]
+            for r in reports
+            if "accession" in r and _report_passes(r, min_n50, allow_inconclusive)
+        ]
+        return passing[:count]
 
     def get_highest_quality_accessions(
         self,
@@ -176,40 +183,36 @@ class NCBIHandler:
         exclude_atypical: bool,
         allow_inconclusive: bool,
     ) -> list[str]:
-        """Walk assembly levels best-first until ``count`` unique accessions."""
-        accessions: list[str] = []
-        for assembly_level in list(AssemblyLevel):
-            accessions += self.get_accessions(
+        """Walk :data:`QUALITY_ORDER` best-first until ``count`` unique
+        accessions are collected (deduplicated, quality order kept)."""
+        collected: dict[str, None] = {}
+        for level in QUALITY_ORDER:
+            for acc in self.get_accessions(
                 taxon_id,
-                assembly_level,
+                level,
                 assembly_source,
                 count,
                 min_n50=min_n50,
                 exclude_atypical=exclude_atypical,
                 allow_inconclusive=allow_inconclusive,
-            )
-            if len(set(accessions)) >= count:
+            ):
+                collected.setdefault(acc)
+            if len(collected) >= count:
                 break
-        # deduplicate, preserving quality order
-        unique = list(dict.fromkeys(accessions))
-        return unique[:count]
+        return list(collected)[:count]
 
     def download_assemblies(self, accessions: list[str], output_dir: Path) -> None:
         """Download the genome FASTA zip for the given accessions."""
-        endpoint = (
-            f"/genome/accession/{','.join(accessions)}/download"
-            "?include_annotation_type=GENOME_FASTA"
-        )
-        self._enforce_rate_limit()
-        response = requests.get(self.base_url + endpoint, stream=True, timeout=15)
-        response.raise_for_status()
-
         output_dir.mkdir(parents=True, exist_ok=True)
-        with open(output_dir / "ncbi_dataset.zip", "wb") as f:
-            for chunk in response.iter_content(chunk_size=8192):
-                f.write(chunk)
+        self.http.download(
+            f"/genome/accession/{','.join(accessions)}/download"
+            "?include_annotation_type=GENOME_FASTA",
+            output_dir / "ncbi_dataset.zip",
+        )
 
-    def download_reference_genome(self, taxon_id: int, output_dir: Path) -> Path | None:
+    def download_reference_genome(
+        self, taxon_id: int, output_dir: Path
+    ) -> Path | None:
         """Download the RefSeq reference genome for a taxon as <taxid>.fna."""
         accessions = self.get_accessions(
             taxon_id=taxon_id,
@@ -224,20 +227,17 @@ class NCBIHandler:
             return None
 
         logger.info(
-            "Downloading reference genome for taxon %s: %s", taxon_id, accessions[0]
+            "downloading reference genome for taxon %s: %s", taxon_id, accessions[0]
         )
         self.download_assemblies(accessions, output_dir)
-
         zip_path = output_dir / "ncbi_dataset.zip"
-        fna_file: Path | None = None
-        with zipfile.ZipFile(zip_path, "r") as zip_ref:
-            for file in zip_ref.namelist():
-                if file.endswith(".fna"):
-                    extracted_path = zip_ref.extract(file, path=output_dir)
-                    fna_file = output_dir / f"{taxon_id}.fna"
-                    Path(extracted_path).rename(fna_file)
-                    break
-
+        fna_file = None
+        with zipfile.ZipFile(zip_path, "r") as zf:
+            inner = next((n for n in zf.namelist() if n.endswith(".fna")), None)
+            if inner is not None:
+                extracted = zf.extract(inner, path=output_dir)
+                fna_file = output_dir / f"{taxon_id}.fna"
+                Path(extracted).rename(fna_file)
         zip_path.unlink()
         shutil.rmtree(output_dir / "ncbi_dataset", ignore_errors=True)
         return fna_file

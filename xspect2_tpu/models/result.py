@@ -8,11 +8,28 @@ and the JSON schema
 ``{model_slug, sparse_sampling_step, hits, scores, num_kmers,
 misclassified, input_source, prediction?}``.
 
-``MlstResult`` mirrors src/xspect/models/mlst_result.py.
+``MlstResult`` covers the reference's ``MlstResult`` surface
+(src/xspect/models/mlst_result.py): {Scheme, Steps, Results,
+Input_source} + JSON save.
 """
 
 import json
+from collections import Counter
 from pathlib import Path
+
+#: sentinel filter threshold selecting per-record argmax instead of a cutoff
+ARGMAX = -1
+
+#: reserved record key for the aggregate score row
+TOTAL_KEY = "total"
+
+#: reserved hits key the misclassification post-filter writes its bucket to
+MISCLASSIFIED_KEY = "misclassified"
+
+
+def _score_row(hits_row: dict[str, int], num_kmers: int) -> dict[str, float]:
+    """One record's scores: hits / k-mer count, rounded to 2 decimals."""
+    return {label: round(count / num_kmers, 2) for label, count in hits_row.items()}
 
 
 class ModelResult:
@@ -27,9 +44,10 @@ class ModelResult:
         prediction: str | None = None,
         input_source: str | None = None,
     ):
-        if "total" in hits:
+        if TOTAL_KEY in hits:
             raise ValueError(
-                "'total' is a reserved key and cannot be used as a subsequence"
+                f"{TOTAL_KEY!r} is a reserved key and cannot be used as a "
+                "subsequence"
             )
         self.model_slug = model_slug
         self.hits = hits
@@ -37,63 +55,61 @@ class ModelResult:
         self.sparse_sampling_step = sparse_sampling_step
         self.prediction = prediction
         self.input_source = input_source
-        # the misclassification post-filter stores its bucket under this
-        # reserved key; it is serialized separately
-        self.misclassified = self.hits.pop("misclassified", None)
+        # the post-filter bucket is carried outside the per-record rows
+        self.misclassified = self.hits.pop(MISCLASSIFIED_KEY, None)
 
-    def get_scores(self) -> dict:
-        """Scores per record and in total, rounded to two decimals."""
-        scores = {
-            record: {
-                label: round(hit_count / self.num_kmers[record], 2)
-                for label, hit_count in record_hits.items()
-            }
-            for record, record_hits in self.hits.items()
-        }
-        total_num_kmers = sum(self.num_kmers.values())
-        scores["total"] = {
-            label: round(hit_count / total_num_kmers, 2)
-            for label, hit_count in self.get_total_hits().items()
-        }
-        return scores
+    # ------------------------------------------------------------------ scores
 
     def get_total_hits(self) -> dict[str, int]:
-        """Sum hits per label across all records."""
-        first = next(iter(self.hits.values()))
-        totals = {label: 0 for label in first}
-        for record_hits in self.hits.values():
-            for label, hit_count in record_hits.items():
-                totals[label] += hit_count
-        return totals
+        """Sum hits per label across all records (label order of the first)."""
+        totals: Counter = Counter()
+        for row in self.hits.values():
+            totals.update(row)
+        first_row = next(iter(self.hits.values()))
+        return {label: totals[label] for label in first_row}
+
+    def get_scores(self) -> dict:
+        """Scores per record plus the aggregate ``"total"`` row."""
+        scores = {
+            record: _score_row(row, self.num_kmers[record])
+            for record, row in self.hits.items()
+        }
+        scores[TOTAL_KEY] = _score_row(
+            self.get_total_hits(), sum(self.num_kmers.values())
+        )
+        return scores
+
+    # ------------------------------------------------------------------ filtering
 
     def get_filter_mask(self, label: str, filter_threshold: float) -> dict[str, bool]:
-        """Per-record boolean mask: score >= threshold (or argmax for -1)."""
-        if filter_threshold < 0 and not filter_threshold == -1 or filter_threshold > 1:
+        """Per-record keep mask: score >= threshold, or per-record argmax
+        when the threshold is the :data:`ARGMAX` sentinel."""
+        valid = filter_threshold == ARGMAX or 0 <= filter_threshold <= 1
+        if not valid:
             raise ValueError("The filter threshold must be between 0 and 1.")
-        scores = self.get_scores()
-        scores.pop("total")
-        if filter_threshold != -1:
+        per_record = self.get_scores()
+        per_record.pop(TOTAL_KEY)
+        if filter_threshold == ARGMAX:
             return {
-                record: record_scores[label] >= filter_threshold
-                for record, record_scores in scores.items()
+                record: row[label] == max(row.values())
+                for record, row in per_record.items()
             }
         return {
-            record: record_scores[label] == max(record_scores.values())
-            for record, record_scores in scores.items()
+            record: row[label] >= filter_threshold
+            for record, row in per_record.items()
         }
 
     def get_filtered_subsequence_labels(
         self, label: str, filter_threshold: float = 0.7
     ) -> list[str]:
         """Record ids passing the filter mask."""
-        return [
-            record
-            for record, keep in self.get_filter_mask(label, filter_threshold).items()
-            if keep
-        ]
+        mask = self.get_filter_mask(label, filter_threshold)
+        return [record for record, keep in mask.items() if keep]
+
+    # ------------------------------------------------------------------ serialization
 
     def to_dict(self) -> dict:
-        res = {
+        payload = {
             "model_slug": self.model_slug,
             "sparse_sampling_step": self.sparse_sampling_step,
             "hits": self.hits,
@@ -103,8 +119,8 @@ class ModelResult:
             "input_source": self.input_source,
         }
         if self.prediction is not None:
-            res["prediction"] = self.prediction
-        return res
+            payload["prediction"] = self.prediction
+        return payload
 
     def save(self, path: Path) -> None:
         path = Path(path)
@@ -141,4 +157,6 @@ class MlstResult:
     def save(self, output_path: Path | str) -> None:
         output_path = Path(output_path)
         output_path.parent.mkdir(exist_ok=True, parents=True)
-        output_path.write_text(json.dumps(self.to_dict(), indent=4), encoding="utf-8")
+        output_path.write_text(
+            json.dumps(self.to_dict(), indent=4), encoding="utf-8"
+        )

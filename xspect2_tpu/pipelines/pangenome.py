@@ -21,38 +21,58 @@ def train_pangenome(
     author: str | None = None,
     author_email: str | None = None,
     continue_on_error: bool = True,
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
 ) -> dict[str, str]:
     """Train one species+genus model per genus.
 
     With ``from_ncbi`` the data is fetched from NCBI per genus; otherwise
     ``data_root/<genus>/`` must hold the ``cobs/``(+``svm/``) layout of
-    ``train_from_directory``.  Returns {genus: "ok" | error message}.
+    ``train_from_directory``.  Each genus is attempted up to
+    ``max_retries`` times before being recorded as failed — the role of
+    the reference's Nextflow per-process ``errorStrategy 'retry';
+    maxRetries 3`` (reference: scripts/benchmark/main.nf:223-224).
+    Returns {genus: "ok" | error message}.
     """
+    import time
+
     from xspect2_tpu import train
+
+    def train_one(genus: str) -> None:
+        if from_ncbi:
+            train.train_from_ncbi(
+                genus, svm_step=svm_step, author=author, author_email=author_email
+            )
+        else:
+            train.train_from_directory(
+                genus,
+                Path(data_root) / genus,
+                meta=True,
+                svm_step=svm_step,
+                author=author,
+                author_email=author_email,
+            )
 
     results: dict[str, str] = {}
     for genus in genera:
-        try:
-            if from_ncbi:
-                train.train_from_ncbi(
-                    genus,
-                    svm_step=svm_step,
-                    author=author,
-                    author_email=author_email,
+        last_error: Exception | None = None
+        for attempt in range(max_retries):
+            if attempt:
+                logger.warning(
+                    "retrying %s (attempt %d/%d) in %.0fs after: %s",
+                    genus, attempt + 1, max_retries, retry_delay, last_error,
                 )
-            else:
-                train.train_from_directory(
-                    genus,
-                    Path(data_root) / genus,
-                    meta=True,
-                    svm_step=svm_step,
-                    author=author,
-                    author_email=author_email,
-                )
-            results[genus] = "ok"
-        except Exception as exc:  # noqa: BLE001
-            logger.error("training %s failed: %s", genus, exc)
-            results[genus] = str(exc)
+                time.sleep(retry_delay)
+            try:
+                train_one(genus)
+                results[genus] = "ok"
+                last_error = None
+                break
+            except Exception as exc:  # noqa: BLE001
+                logger.error("training %s failed: %s", genus, exc)
+                last_error = exc
+        if last_error is not None:
+            results[genus] = str(last_error)
             if not continue_on_error:
-                raise
+                raise last_error
     return results
