@@ -201,12 +201,42 @@ def models():
 
 
 @models.command(help="Download models from the internet.")
-def download():
-    """Download pre-trained models."""
+@click.option("--url", default=None, help="Override the bundle URL.")
+def download(url):
+    """Download pre-trained models (native or reference bundles)."""
     click.echo("Downloading models, this may take a while...")
     from xspect2_tpu.download_models import download_test_models
 
-    download_test_models()
+    statuses = download_test_models(url=url)
+    for slug, status in statuses.items():
+        click.echo(f"  {slug}: {status}")
+
+
+@models.command(
+    name="import",
+    help="Import a reference-XspecT model bundle (zip or directory): "
+    "metadata and scores carry over, indices rebuild from their recorded "
+    "training provenance (NCBI/PubMLST).",
+)
+@click.option(
+    "-p",
+    "--path",
+    "bundle_path",
+    prompt=True,
+    type=click.Path(exists=True, path_type=Path),
+)
+@click.option(
+    "--no-rebuild",
+    is_flag=True,
+    help="Import metadata/scores only; skip index rebuilds.",
+)
+def import_models(bundle_path, no_rebuild):
+    """Import reference models with provenance-based index rebuild."""
+    from xspect2_tpu.reference_import import import_reference_models
+
+    statuses = import_reference_models(bundle_path, rebuild=not no_rebuild)
+    for slug, status in statuses.items():
+        click.echo(f"  {slug}: {status}")
 
 
 @models.command(name="list", help="List all models in the model directory.")
