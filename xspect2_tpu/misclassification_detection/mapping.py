@@ -13,7 +13,7 @@ output format match the reference handler.
 
 import csv
 import os
-from collections import Counter
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
@@ -23,9 +23,60 @@ from xspect2_tpu.definitions import fasta_endings
 from xspect2_tpu.io.fasta import get_record_iterator
 
 SEED_K = 15
-SEED_STRIDE = 7
 MAX_OCCURRENCES = 16  # skip repetitive seeds
-MIN_VOTES = 2
+
+
+@dataclass(frozen=True)
+class MappingPreset:
+    """Per-read-length-regime mapping parameters.
+
+    The reference switches minimap2 presets on the first read's length
+    ("sr" for <= 150 bp, "map-ont" beyond; reference:
+    src/xspect/misclassification_detection/mapping.py:66-69).  The
+    analogue here: short accurate reads use a dense seed stride and a
+    tight vote-clustering tolerance; long (possibly noisy) reads seed
+    more sparsely per base but collect far more seeds overall, and
+    cluster votes with a wide tolerance so indels — which shift the
+    implied start of every downstream seed — still stack into one
+    cluster instead of fragmenting the vote.
+    """
+
+    name: str
+    seed_stride: int
+    start_tolerance: int  # max spread of one vote cluster (absorbs indels)
+    min_votes: int
+
+
+SHORT_READ_PRESET = MappingPreset("sr", seed_stride=7, start_tolerance=12, min_votes=2)
+LONG_READ_PRESET = MappingPreset(
+    "map-ont", seed_stride=11, start_tolerance=120, min_votes=3
+)
+SHORT_READ_MAX_LEN = 150
+
+
+def preset_for_read_length(read_length: int) -> MappingPreset:
+    """File-level preset choice, matching the reference's length split."""
+    return SHORT_READ_PRESET if read_length <= SHORT_READ_MAX_LEN else LONG_READ_PRESET
+
+
+def _best_start_cluster(starts: np.ndarray, tolerance: int) -> tuple[int, int]:
+    """(votes, start) of the densest cluster of implied starts.
+
+    Sorted two-pointer sweep: the best window whose spread is within
+    ``tolerance``; the cluster's median is the reported start (robust to
+    the indel-shifted outliers at the window edges).
+    """
+    starts = np.sort(starts)
+    best_count, best_start = 0, 0
+    lo = 0
+    for hi in range(len(starts)):
+        while starts[hi] - starts[lo] > tolerance:
+            lo += 1
+        count = hi - lo + 1
+        if count > best_count:
+            best_count = count
+            best_start = int(np.median(starts[lo : hi + 1]))
+    return best_count, best_start
 
 
 class MappingHandler:
@@ -78,19 +129,21 @@ class MappingHandler:
 
     # ------------------------------------------------------------------ mapping
 
-    def _vote_read(self, codes: np.ndarray) -> tuple[int, int] | None:
+    def _vote_read(
+        self, codes: np.ndarray, preset: MappingPreset
+    ) -> tuple[int, int] | None:
         """Best (votes, global_start) over both strands, or None if unmapped."""
         n = len(codes)
         if n < SEED_K:
             return None
         best = None
-        for strand, ccodes in ((0, codes), (1, dna.revcomp_codes(codes))):
+        for ccodes in (codes, dna.revcomp_codes(codes)):
             nk = n - SEED_K + 1
-            seed_offsets = list(range(0, nk, SEED_STRIDE))
+            seed_offsets = list(range(0, nk, preset.seed_stride))
             if (nk - 1) not in seed_offsets:
                 seed_offsets.append(nk - 1)
             _, lo, valid = dna.pack_kmers(ccodes, SEED_K)
-            votes: Counter = Counter()
+            implied_starts: list[int] = []
             for off in seed_offsets:
                 if not valid[off]:
                     continue
@@ -99,20 +152,30 @@ class MappingHandler:
                 i1 = np.searchsorted(self._ref_values, val, side="right")
                 if i1 - i0 == 0 or i1 - i0 > MAX_OCCURRENCES:
                     continue
-                for gpos in self._ref_positions[i0:i1]:
-                    votes[int(gpos) - off] += 1
-            if votes:
-                start, count = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
-                if count >= MIN_VOTES and (best is None or count > best[0]):
+                implied_starts.extend(
+                    int(gpos) - off for gpos in self._ref_positions[i0:i1]
+                )
+            if implied_starts:
+                count, start = _best_start_cluster(
+                    np.asarray(implied_starts, dtype=np.int64),
+                    preset.start_tolerance,
+                )
+                if count >= preset.min_votes and (best is None or count > best[0]):
                     best = (count, max(0, start))
         return best
 
     def map_reads_onto_reference(self) -> None:
-        """Map all reads; keep one primary alignment start per read."""
+        """Map all reads; keep one primary alignment start per read.
+
+        The mapping preset is chosen from the first read's length, like
+        the reference's minimap2 preset split (sr vs map-ont)."""
         self._build_reference_index()
         alignments = []
+        preset = None
         for rec in get_record_iterator(Path(self.reads_path)):
-            hit = self._vote_read(dna.encode(rec.seq))
+            if preset is None:
+                preset = preset_for_read_length(len(rec.seq))
+            hit = self._vote_read(dna.encode(rec.seq), preset)
             if hit is None:
                 continue
             _, gstart = hit
