@@ -145,10 +145,10 @@ def main():
         ).returncode
         == 0
     )
-    # the shared dev host shows ~2x transient CPU stalls; best-of-2
+    # the shared dev host shows ~2x transient CPU stalls; best-of-3
     # attempts per configuration filters them out
-    r1 = max(_run(1, args.reads, pin=have_taskset) for _ in range(2))
-    r2 = max(_run(2, args.reads, pin=have_taskset) for _ in range(2))
+    r1 = max(_run(1, args.reads, pin=have_taskset) for _ in range(3))
+    r2 = max(_run(2, args.reads, pin=have_taskset) for _ in range(3))
     eff = r2 / (2 * r1)
     out = {
         "reads_per_s_1proc_1core": round(r1),
