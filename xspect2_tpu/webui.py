@@ -2,10 +2,17 @@
 
 The reference ships a pre-built React/Vite SPA as package data
 (reference: src/xspect/xspect-web/, routes /classify /filter /models
-/result).  This framework serves an equivalent dependency-free
-single-file application against the same REST API: classify and filter
-forms with upload + polling, model listing/metadata, and a result view
-with score bars.
+/models/:slug /result — App.tsx:14-27).  This framework serves an
+equivalent dependency-free single-file application against the same
+REST API:
+
+- classify / filter forms with upload + result polling,
+- a result view with a total-score bar chart AND a per-record score
+  chart with a record selector (the reference's result-chart.tsx),
+- a model list with per-model detail panels (the reference's
+  /models/:slug page): formatted metadata, editable author fields
+  (POST /api/model-metadata) and per-filter display-name editing
+  (POST /api/model-display-name).
 """
 
 INDEX_HTML = """<!doctype html>
@@ -25,6 +32,8 @@ label{display:block;margin:.8em 0 .2em;font-weight:600;font-size:.9em}
 input,select{padding:.45em;border:1px solid var(--line);border-radius:6px;width:100%;max-width:22em}
 button.go{margin-top:1em;background:var(--acc);color:#fff;border:none;border-radius:6px;
  padding:.6em 1.4em;font-size:1em;cursor:pointer}
+button.sm{background:var(--acc);color:#fff;border:none;border-radius:5px;
+ padding:.3em .8em;font-size:.8em;cursor:pointer}
 .card{border:1px solid var(--line);border-radius:8px;padding:1em;margin:.8em 0}
 .bar{height:14px;background:var(--acc);border-radius:3px;min-width:2px}
 .row{display:flex;align-items:center;gap:.6em;margin:.25em 0;font-size:.85em}
@@ -32,6 +41,14 @@ button.go{margin-top:1em;background:var(--acc);color:#fff;border:none;border-rad
 .row .val{width:3.5em}.muted{color:var(--mut);font-size:.85em}
 pre{background:#f6f7fa;padding:.8em;border-radius:6px;overflow:auto;font-size:.8em}
 .status{margin-top:.8em;font-size:.9em;color:var(--mut)}
+table.meta{border-collapse:collapse;font-size:.85em;margin:.5em 0}
+table.meta td{border-bottom:1px solid var(--line);padding:.3em .7em .3em 0;vertical-align:top}
+table.meta td:first-child{color:var(--mut);white-space:nowrap}
+.dn-row{display:flex;gap:.5em;align-items:center;margin:.2em 0;font-size:.85em}
+.dn-row input{max-width:14em;padding:.25em}
+.detail{display:none;margin-top:.8em;border-top:1px dashed var(--line);padding-top:.6em}
+.card.open .detail{display:block}
+a.slug{cursor:pointer;color:var(--acc);text-decoration:underline;font-size:.85em}
 </style></head><body>
 <h1>XspecT2-TPU <span class="muted">taxonomic classification</span></h1>
 <nav>
@@ -68,6 +85,8 @@ pre{background:#f6f7fa;padding:.8em;border-radius:6px;overflow:auto;font-size:.8
 <script>
 const $ = (id) => document.getElementById(id);
 const api = (p) => fetch(p).then(r => r.json());
+const esc = (s) => String(s).replace(/[&<>"]/g, c =>
+  ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
 
 document.querySelectorAll('nav button').forEach(b => b.onclick = () => {
   document.querySelectorAll('nav button').forEach(x => x.classList.remove('active'));
@@ -76,32 +95,83 @@ document.querySelectorAll('nav button').forEach(b => b.onclick = () => {
 });
 
 let MODELS = {};
+const slugOf = (n, type) =>
+  n.toLowerCase().replace(/[^a-z0-9]+/g, '-') + '-' + type.toLowerCase();
+
 async function loadModels() {
   MODELS = await api('/api/list-models');
-  const opts = (t) => (MODELS[t] || []).map(m => `<option>${m}</option>`).join('');
+  const opts = (t) => (MODELS[t] || []).map(m => `<option>${esc(m)}</option>`).join('');
   $('cModel').innerHTML = opts($('cType').value);
   $('fModel').innerHTML = opts('Species');
   let html = '';
   for (const [type, names] of Object.entries(MODELS)) {
     for (const n of names) {
-      const slug = n.toLowerCase().replace(/[^a-z0-9]+/g, '-') + '-' + type.toLowerCase();
-      html += `<div class="card"><b>${n}</b> <span class="muted">(${type})</span>
-        <pre id="meta-${slug}">…</pre></div>`;
+      const slug = slugOf(n, type);
+      html += `<div class="card" id="card-${slug}"><b>${esc(n)}</b>
+        <span class="muted">(${esc(type)})</span>
+        <a class="slug" onclick="toggleDetail('${slug}')">details</a>
+        <div class="detail" id="detail-${slug}">loading…</div></div>`;
     }
   }
   $('mList').innerHTML = html || 'No models found — train one with the CLI.';
-  for (const [type, names] of Object.entries(MODELS)) {
-    for (const n of names) {
-      const slug = n.toLowerCase().replace(/[^a-z0-9]+/g, '-') + '-' + type.toLowerCase();
-      api('/api/model-metadata?model_slug=' + slug)
-        .then(d => { const el = $('meta-' + slug); if (el) el.textContent = JSON.stringify(d, null, 1); });
-    }
-  }
 }
 $('cType').onchange = () => {
-  $('cModel').innerHTML = (MODELS[$('cType').value] || []).map(m => `<option>${m}</option>`).join('');
+  $('cModel').innerHTML = (MODELS[$('cType').value] || []).map(m => `<option>${esc(m)}</option>`).join('');
 };
 loadModels();
+
+// ------------------------------------------------------------ model detail
+// the reference's /models/:slug page: formatted metadata + editing
+const META_FIELDS = ['model_slug','model_class','model_type','k','fpr',
+                     'num_hashes','kernel','C','organism','loci'];
+
+async function toggleDetail(slug) {
+  const card = $('card-' + slug);
+  card.classList.toggle('open');
+  if (!card.classList.contains('open')) return;
+  await renderDetail(slug);
+}
+
+async function renderDetail(slug) {
+  const d = await api('/api/model-metadata?model_slug=' + slug);
+  let rows = '';
+  for (const f of META_FIELDS) {
+    if (d[f] !== undefined && d[f] !== null)
+      rows += `<tr><td>${f}</td><td>${esc(JSON.stringify(d[f]))}</td></tr>`;
+  }
+  rows += `<tr><td>author</td><td>
+      <input id="auth-${slug}" value="${esc(d.author ?? '')}">
+      <input id="mail-${slug}" value="${esc(d.author_email ?? '')}" placeholder="email">
+      <button class="sm" onclick="saveAuthor('${slug}')">save</button></td></tr>`;
+  let dns = '';
+  for (const [fid, name] of Object.entries(d.display_names || {})) {
+    dns += `<div class="dn-row"><span class="muted">${esc(fid)}</span>
+      <input id="dn-${slug}-${esc(fid)}" value="${esc(name)}">
+      <button class="sm" onclick="saveDisplayName('${slug}','${esc(fid)}')">rename</button></div>`;
+  }
+  $('detail-' + slug).innerHTML = `<table class="meta">${rows}</table>
+    ${dns ? '<b style="font-size:.85em">Display names</b>' + dns : ''}
+    <details><summary class="muted">raw metadata</summary>
+    <pre>${esc(JSON.stringify(d, null, 1))}</pre></details>
+    <div class="status" id="dstat-${slug}"></div>`;
+}
+
+async function saveAuthor(slug) {
+  const q = `model_slug=${slug}&author=${encodeURIComponent($('auth-'+slug).value)}` +
+            `&author_email=${encodeURIComponent($('mail-'+slug).value)}`;
+  const r = await fetch('/api/model-metadata?' + q, {method:'POST'});
+  $('dstat-'+slug).textContent = r.ok ? 'Saved.' : 'Error saving metadata.';
+}
+
+async function saveDisplayName(slug, fid) {
+  const q = `model_slug=${slug}&filter_id=${encodeURIComponent(fid)}` +
+            `&display_name=${encodeURIComponent($('dn-'+slug+'-'+fid).value)}`;
+  const r = await fetch('/api/model-display-name?' + q, {method:'POST'});
+  $('dstat-'+slug).textContent = r.ok ? 'Renamed.' : 'Error renaming.';
+  if (r.ok) renderDetail(slug);
+}
+
+// ------------------------------------------------------------ upload + bars
 
 async function upload(fileInput, statusEl) {
   const f = fileInput.files[0];
@@ -115,9 +185,17 @@ async function upload(fileInput, statusEl) {
 function scoreBars(scores) {
   const entries = Object.entries(scores).sort((a, b) => b[1] - a[1]).slice(0, 15);
   return entries.map(([k, v]) =>
-    `<div class="row"><div class="lbl">${k}</div>
+    `<div class="row"><div class="lbl">${esc(k)}</div>
      <div class="bar" style="width:${Math.max(2, v * 300)}px"></div>
      <div class="val">${v.toFixed(2)}</div></div>`).join('');
+}
+
+// per-record score chart (the reference's result-chart.tsx): a record
+// selector re-renders the bar chart for that record's score vector
+let LAST_RESULT = null;
+function recordChart() {
+  const rec = $('recSel').value;
+  $('recChart').innerHTML = scoreBars(LAST_RESULT.scores[rec] || {});
 }
 
 async function runClassify() {
@@ -131,13 +209,21 @@ async function runClassify() {
     const r = await fetch('/api/classification-result?uuid=' + uuid);
     if (r.status === 200) {
       const d = await r.json();
+      LAST_RESULT = d;
+      const records = Object.keys(d.scores).filter(k => k !== 'total');
       $('cStatus').textContent = 'Done.';
       $('cResult').innerHTML = `<div class="card">
-        ${d.prediction !== undefined ? `<b>Prediction: ${d.prediction}</b>` : ''}
-        <div class="muted">${d.input_source || ''} · model ${d.model_slug}</div>
+        ${d.prediction !== undefined ? `<b>Prediction: ${esc(d.prediction)}</b>` : ''}
+        <div class="muted">${esc(d.input_source || '')} · model ${esc(d.model_slug)}</div>
         <h3 style="font-size:.9em">Total scores</h3>${scoreBars(d.scores.total)}
-        <details><summary class="muted">raw result</summary><pre>${JSON.stringify(d, null, 1)}</pre></details>
+        <h3 style="font-size:.9em">Per-record scores
+          <select id="recSel" style="max-width:14em" onchange="recordChart()">
+            ${records.map(r => `<option>${esc(r)}</option>`).join('')}
+          </select></h3>
+        <div id="recChart"></div>
+        <details><summary class="muted">raw result</summary><pre>${esc(JSON.stringify(d, null, 1))}</pre></details>
       </div>`;
+      if (records.length) recordChart();
       return;
     }
   }
