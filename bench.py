@@ -61,7 +61,12 @@ def build_or_load_index(
     from xspect2_tpu.core import dna
     from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
 
-    geo = "ref" if reference_geometry else "v2"
+    if reference_geometry:
+        geo = "ref"
+    else:
+        from xspect2_tpu.core.blocked_index import pick_num_hashes
+
+        geo = f"v2h{pick_num_hashes(int(genome_mb * 1e6), 0.01, num_classes)}"
     tag = f"c{num_classes}_m{genome_mb}_s{seed}_{geo}"
     idx_dir = CACHE_DIR / f"index_{tag}"
     genomes_path = CACHE_DIR / f"genomes_c{num_classes}_m{genome_mb}_s{seed}.npy"

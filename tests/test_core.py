@@ -177,9 +177,11 @@ def test_pick_num_hashes_policy():
 
     # tiny index: everything fits the budget -> fewest passes (h=2)
     assert pick_num_hashes(10_000, 0.01, 8) == 2
-    # headline config (4M kmers/class, 8 classes): h=2 table ~99MB is
-    # over the 96MB fast budget, h=3 at ~65MB is under -> h=3
-    assert pick_num_hashes(4_000_000, 0.01, 8) == 3
+    # headline config (4M kmers/class, 8 classes): h=2 at ~99MB fits the
+    # 108MB fast budget (cliff measured between 110 and 120MB) -> h=2
+    assert pick_num_hashes(4_000_000, 0.01, 8) == 2
+    # 1.4x more kmers: h=2 crosses the cliff, h=3 at ~91MB fits -> h=3
+    assert pick_num_hashes(5_600_000, 0.01, 8) == 3
     # huge index: nothing fits -> the least-bytes-per-element choice
     # keeps the size-cost growth smallest (h=7)
     assert pick_num_hashes(200_000_000, 0.01, 8) == 7

@@ -99,13 +99,15 @@ def pick_num_hashes(
     AND-reduce passes over the gathered block.  Constants are measured
     on v5e (tools/microbench_fields.py): ~0.42 ns/k-mer per body pass,
     ~3.4 ns/k-mer gather below the fast-table budget, ~11.5 ns at
-    200 MB growing ~(size)^1.3 beyond (the 100→200 MB cliff,
-    docs/performance.md).  E.g. the 8-class headline config picks h=3
-    (65 MB, 1.39 M reads/s) over h=7 (50 MB, 0.97 M) and h=2 (99 MB,
-    cliff-adjacent).
+    200 MB growing ~(size)^1.3 beyond.  The budget default comes from a
+    direct scan of the gather-rate cliff: ~210-220 M rows/s up to
+    110 MB, ~79 M from 120 MB (sharp edge between 110 and 120 MB,
+    docs/performance.md), so 108 MB keeps a small safety margin.  E.g.
+    the 8-class headline config picks h=2 (99 MB, 1.63 M reads/s) over
+    h=3 (65 MB, 1.41 M) and h=7 (50 MB, 0.97 M).
     """
     if budget_bytes is None:
-        budget_bytes = int(os.environ.get("XSPECT_FAST_TABLE_BYTES", 96_000_000))
+        budget_bytes = int(os.environ.get("XSPECT_FAST_TABLE_BYTES", 108_000_000))
     class_words = max(1, (num_classes + 31) // 32)
     P = default_fields_per_word(num_classes) if class_words == 1 else 1
     rpb = default_rows_per_block(class_words, target_block_bytes)
