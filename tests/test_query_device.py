@@ -152,3 +152,27 @@ def test_wire_validation(rng):
     mat = np.stack([dna.encode(seqs["c0"][:150])] * 4)
     with pytest.raises(ValueError, match="wire"):
         engine.count_hits_reads(mat, wire="pack")
+
+
+def test_packed_batch_wire_matches_raw(rng):
+    """The compact batch wire (2-bit codes + offsets, device-derived
+    rec_ids/validity/step mask) matches the raw wire exactly, including
+    invalid bases and sparse sampling."""
+    idx, seqs = _build_index(rng, num_classes=5, seq_len=1500)
+    engine = DeviceQueryEngine(idx, chunk=512)
+    records = []
+    for i in range(9):
+        src = seqs[f"c{int(rng.integers(0, 5))}"]
+        start = int(rng.integers(0, len(src) - 200))
+        codes = dna.encode(src[start : start + 120 + 40 * (i % 3)])
+        if i % 2:
+            codes = codes.copy()
+            codes[int(rng.integers(0, len(codes)))] = 255  # an N base
+        records.append((f"r{i}", codes))
+    for step in (1, 3):
+        batch = prepare_batch(records, idx.k, step=step, chunk=512)
+        raw = engine.count_hits(batch, wire="raw")
+        packed = engine.count_hits(batch, wire="packed")
+        np.testing.assert_array_equal(packed, raw, err_msg=f"step={step}")
+        host = _host_counts(idx, records, step=step)
+        np.testing.assert_array_equal(packed, host, err_msg=f"step={step}")

@@ -77,6 +77,13 @@ class PreparedBatch:
     valid: np.ndarray  # bool  [num_positions]  (k-mer start validity)
     record_names: list[str] = field(default_factory=list)
     num_kmers: list[int] = field(default_factory=list)  # per record, ceil((len-k+1)/step)
+    # record start positions in the flat code tensor ([num_records + 1],
+    # last entry = total real bases): the compact wire derives rec_ids
+    # and validity on device from these instead of shipping them
+    offsets: np.ndarray | None = None
+    # sparse-sampling step baked into ``valid``; the compact wire
+    # re-derives the phase mask on device and needs it explicitly
+    step: int = 1
 
     @property
     def num_records(self) -> int:
@@ -130,7 +137,12 @@ def prepare_batch(records, k: int, step: int = 1, chunk: int = DEFAULT_CHUNK):
     valid_pad = np.zeros(n_pad, dtype=bool)
     valid_pad[:n_pos] = valid
 
-    return PreparedBatch(codes_pad, rec_ids_pad, valid_pad, names, num_kmers)
+    offsets = np.zeros(len(names) + 1, dtype=np.int32)
+    np.cumsum([len(c) for c in code_parts], out=offsets[1:])
+
+    return PreparedBatch(
+        codes_pad, rec_ids_pad, valid_pad, names, num_kmers, offsets, step
+    )
 
 
 def prepare_fixed_batch(
@@ -205,6 +217,85 @@ def query_hits_device(
     fields_per_word: int = 1,
 ):
     """Per-record, per-class hit counts: returns int32 [max_records, num_classes]."""
+    return make_query_body(
+        k=k,
+        num_hashes=num_hashes,
+        rows_per_block=rows_per_block,
+        class_words=class_words,
+        num_classes=num_classes,
+        chunk=chunk,
+        num_chunks=num_chunks,
+        max_records=max_records,
+        fields_per_word=fields_per_word,
+    )(table2d, codes, rec_ids, valid, num_blocks)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_blocks",
+        "k",
+        "step",
+        "num_hashes",
+        "rows_per_block",
+        "class_words",
+        "num_classes",
+        "chunk",
+        "num_chunks",
+        "max_records",
+        "fields_per_word",
+    ),
+)
+def query_hits_packed_batch_device(
+    table2d,
+    packed,
+    bad_pos,
+    offsets,
+    *,
+    num_blocks: int,
+    k: int,
+    step: int,
+    num_hashes: int,
+    rows_per_block: int,
+    class_words: int,
+    num_classes: int,
+    chunk: int,
+    num_chunks: int,
+    max_records: int,
+    fields_per_word: int = 1,
+):
+    """Compact-wire batch entry: per-record hit counts from 2-bit codes.
+
+    The raw batch wire ships ~6 bytes per base (uint8 codes + int32
+    record ids + bool validity); this entry ships 2-bit packed codes, a
+    fixed-size invalid-base patch list, and the [max_records + 1] record
+    offsets — everything else is derived on device: record ids by a
+    searchsorted over the offsets, window validity from each record's
+    k-mer span and the sparse-sampling phase.  ~25x fewer wire bytes on
+    the assembly classification path.
+    """
+    n_pos = chunk * num_chunks
+    n_tot = n_pos + k - 1
+    shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
+    codes = ((packed[:, None] >> shifts[None, :]) & jnp.uint8(3)).reshape(-1)[
+        :n_tot
+    ]
+    if bad_pos.shape[0]:
+        codes = codes.at[bad_pos].set(jnp.uint8(255), mode="drop")
+
+    pos = jnp.arange(n_pos, dtype=jnp.int32)
+    # record r spans [offsets[r], offsets[r+1]); padding positions fall
+    # past the last boundary and clamp to the final (empty) record,
+    # whose k-mer span is negative -> valid False
+    rec_ids = jnp.searchsorted(offsets[1:], pos, side="right").astype(jnp.int32)
+    rec_ids = jnp.minimum(rec_ids, jnp.int32(max_records - 1))
+    rec_start = jnp.take(offsets, rec_ids)
+    rec_end = jnp.take(offsets, rec_ids + 1)
+    rel = pos - rec_start
+    nk_r = rec_end - rec_start - jnp.int32(k - 1)
+    valid = (rel < nk_r) & (rel % jnp.int32(step) == 0)
+
+    codes, rec_ids, valid = lax.optimization_barrier((codes, rec_ids, valid))
     return make_query_body(
         k=k,
         num_hashes=num_hashes,
@@ -656,36 +747,79 @@ class DeviceQueryEngine:
         self.chunk = min(chunk, max(8192, _next_pow2((1 << 19) // cw + 1) // 2))
         self.table = jnp.asarray(index.device_table())
 
-    def count_hits(self, batch: PreparedBatch, block: bool = True):
+    def count_hits(
+        self, batch: PreparedBatch, block: bool = True, wire: str = "packed"
+    ):
         """Hit counts: int64 [batch.num_records, num_classes].
 
         With ``block=False`` the padded device array is returned without
         synchronizing (slice ``[:num_records]`` after ``np.asarray``);
         callers dispatching several queries (e.g. one per MLST locus)
         pay the device round-trip latency once instead of per call.
+        ``wire="packed"`` (default) ships 2-bit codes + record offsets
+        and derives per-position metadata on device (~25x fewer wire
+        bytes); ``wire="raw"`` ships codes/rec_ids/valid verbatim.
         """
         idx = self.index
+        if wire not in ("packed", "raw"):
+            raise ValueError(
+                f"unknown wire format {wire!r}: expected 'packed' or 'raw'"
+            )
         if batch.num_records == 0:
             return np.zeros((0, idx.num_classes), dtype=np.int64)
         max_records = _next_pow2(max(8, batch.num_records))
         num_chunks = batch.num_positions // self.chunk
-        with profiling.phase("query.dispatch"):
-            out = query_hits_device(
-                self.table,
-                jnp.asarray(batch.codes),
-                jnp.asarray(batch.rec_ids),
-                jnp.asarray(batch.valid),
-                num_blocks=int(idx.num_blocks),
-                k=idx.k,
-                num_hashes=idx.num_hashes,
-                rows_per_block=idx.rows_per_block,
-                class_words=idx.class_words,
-                num_classes=idx.num_classes,
-                chunk=self.chunk,
-                num_chunks=num_chunks,
-                max_records=max_records,
-                fields_per_word=idx.fields_per_word,
-            )
+        geom = dict(
+            num_blocks=int(idx.num_blocks),
+            k=idx.k,
+            num_hashes=idx.num_hashes,
+            rows_per_block=idx.rows_per_block,
+            class_words=idx.class_words,
+            num_classes=idx.num_classes,
+            chunk=self.chunk,
+            num_chunks=num_chunks,
+            max_records=max_records,
+            fields_per_word=idx.fields_per_word,
+        )
+        if wire == "packed" and batch.offsets is not None:
+            from xspect2_tpu import native
+
+            with profiling.phase("query.pack"):
+                packed, _bad = native.pack_2bit(batch.codes[None, :])
+                packed = packed.reshape(-1)
+                n_real = int(batch.offsets[-1])
+                # only real in-record invalid bases need patching: padded
+                # regions are never read by a valid window (validity is
+                # derived from the offsets on device)
+                bad_pos = np.nonzero(
+                    batch.codes[:n_real].astype(np.uint8) > 3
+                )[0].astype(np.int32)
+                m = len(bad_pos)
+                cap = _next_pow2(max(8, m)) if m else 0
+                if cap:
+                    sent = np.full(cap, len(batch.codes), dtype=np.int32)
+                    sent[:m] = bad_pos
+                    bad_pos = sent
+                offsets = np.full(max_records + 1, n_real, dtype=np.int32)
+                offsets[: len(batch.offsets)] = batch.offsets
+            with profiling.phase("query.dispatch"):
+                out = query_hits_packed_batch_device(
+                    self.table,
+                    jnp.asarray(packed),
+                    jnp.asarray(bad_pos),
+                    jnp.asarray(offsets),
+                    step=batch.step,
+                    **geom,
+                )
+        else:
+            with profiling.phase("query.dispatch"):
+                out = query_hits_device(
+                    self.table,
+                    jnp.asarray(batch.codes),
+                    jnp.asarray(batch.rec_ids),
+                    jnp.asarray(batch.valid),
+                    **geom,
+                )
         if not block:
             return out
         with profiling.phase("query.sync"):
