@@ -214,3 +214,19 @@ def test_pubmlst_designation_post(pubmlst):
         {locus: 2 for locus in MLST_LOCI}, url
     )
     assert "novel" in novel.lower()
+
+
+def test_dns_failure_fails_fast():
+    """Unresolvable hosts raise immediately (no retry backoff): callers
+    with offline fallbacks (MLST strain-type lookup) must not stall."""
+    import time
+
+    import requests
+
+    from xspect2_tpu.handlers.http import HttpClient
+
+    client = HttpClient("https://nonexistent.invalid", retries=3, backoff=2.0)
+    t0 = time.time()
+    with pytest.raises(requests.ConnectionError):
+        client.get_json("/x")
+    assert time.time() - t0 < 2.0  # no 2+4+8s backoff sleeps

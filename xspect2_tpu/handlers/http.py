@@ -17,6 +17,7 @@ local mock server.
 """
 
 import logging
+import socket
 import time
 
 import requests
@@ -24,6 +25,21 @@ import requests
 logger = logging.getLogger("xspect2_tpu.http")
 
 _RETRYABLE_STATUS = {429, 500, 502, 503, 504}
+
+
+def _is_permanent(exc: BaseException) -> bool:
+    """DNS resolution failures are permanent within a run: retrying only
+    delays the caller's offline fallback (e.g. the MLST strain-type
+    lookup degrades gracefully when PubMLST is unreachable)."""
+    seen = set()
+    while exc is not None and id(exc) not in seen:
+        seen.add(id(exc))
+        if isinstance(exc, socket.gaierror):
+            return True
+        exc = exc.__cause__ or exc.__context__ or getattr(exc, "reason", None)
+        if isinstance(exc, str):
+            return False
+    return False
 
 
 class HttpClient:
@@ -78,6 +94,8 @@ class HttpClient:
             try:
                 response = requests.request(method, url, **kwargs)
             except requests.RequestException as exc:
+                if _is_permanent(exc):
+                    raise
                 last_exc = exc
                 continue
             if response.status_code in _RETRYABLE_STATUS:
