@@ -58,16 +58,21 @@ MLST_ALLELE_LEN = 300
 MLST_ST_FIELDS = {"ST": "1", "clonal_complex": "CC1"}
 
 
+def _stable_seed(text: str) -> int:
+    """Process-independent seed (Python's str hash is salted per run)."""
+    import zlib
+
+    return zlib.crc32(text.encode())
+
+
 def genome_for(accession: str) -> str:
     """Deterministic synthetic genome for an accession."""
-    seed = abs(hash(accession)) % (2**32)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(_stable_seed(accession))
     return "".join("ACGT"[b] for b in rng.integers(0, 4, size=GENOME_LEN))
 
 
 def allele_seq(locus: str, allele_id: int) -> str:
-    seed = abs(hash(f"{locus}/{allele_id}")) % (2**32)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(_stable_seed(f"{locus}/{allele_id}"))
     return "".join("ACGT"[b] for b in rng.integers(0, 4, size=MLST_ALLELE_LEN))
 
 

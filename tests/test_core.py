@@ -210,3 +210,20 @@ def test_format_v1_load_compat(tmp_path, rng):
     np.testing.assert_array_equal(
         idx.count_hits_host(hi, lo, v), idx2.count_hits_host(hi, lo, v)
     )
+
+
+def test_pick_num_hashes_respects_fields_override():
+    """An explicit fields_per_word=1 multiplies table bytes up to 32x;
+    the picker must model the geometry actually built."""
+    from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex, pick_num_hashes
+
+    # packed: h=2 fits the budget; unpacked: every candidate is over it
+    # (h=2 would be ~395MB) so the picker moves to a high-probe choice
+    assert pick_num_hashes(4_000_000, 0.01, 8) == 2
+    h_unpacked = pick_num_hashes(4_000_000, 0.01, 8, fields_per_word=1)
+    assert h_unpacked >= 5
+    idx = BlockedBitSlicedIndex.create(
+        21, [f"c{i}" for i in range(8)], 4_000_000, num_hashes=None,
+        fields_per_word=1,
+    )
+    assert idx.num_hashes == h_unpacked

@@ -103,16 +103,25 @@ def _launch_workers(tmp_path, attempt):
             )
         )
     outs = []
+    failure = None
     for p in procs:
         try:
             stdout, stderr = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
-            p.kill()
-            p.communicate()
-            return None, "timeout"
+            failure = failure or "timeout"
+            continue
         if p.returncode != 0:
-            return None, f"worker failed:\n{stdout}\n{stderr}"
+            failure = failure or f"worker failed:\n{stdout}\n{stderr}"
+            continue
         outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    if failure is not None:
+        # kill any sibling still spinning against a dead coordinator so
+        # the retry attempt gets both host cores
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        return None, failure
     return out_base, outs
 
 

@@ -127,8 +127,10 @@ def test_import_rebuilds_from_provenance(services, data_root, tmp_path, monkeypa
     hits = model.calculate_hits(genome_for("GCF_101.1")[50:350])
     assert max(hits, key=hits.get) == "101"
 
-    # genus + MLST present in the registry
+    # genus + MLST present in the registry; genus keeps its provenance
     assert mm.get_genus_model_path("Testus").exists()
+    genus_meta = mm.get_model_metadata(mm.get_genus_model_path("Testus"))
+    assert genus_meta["training_accessions"] == ["GCF_101.1", "GCF_102.1"]
     assert MLST_SCHEME in mm.get_available_mlst_schemes()[MLST_ORGANISM]
 
 

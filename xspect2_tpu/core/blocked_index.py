@@ -90,6 +90,7 @@ def pick_num_hashes(
     target_block_bytes: int = 512,
     size_factor: float = 1.3,
     budget_bytes: int | None = None,
+    fields_per_word: int | None = None,
 ) -> int:
     """Choose the probe count that minimizes estimated per-k-mer cost.
 
@@ -109,7 +110,11 @@ def pick_num_hashes(
     if budget_bytes is None:
         budget_bytes = int(os.environ.get("XSPECT_FAST_TABLE_BYTES", 108_000_000))
     class_words = max(1, (num_classes + 31) // 32)
-    P = default_fields_per_word(num_classes) if class_words == 1 else 1
+    if fields_per_word is None:
+        fields_per_word = (
+            default_fields_per_word(num_classes) if class_words == 1 else 1
+        )
+    P = fields_per_word
     rpb = default_rows_per_block(class_words, target_block_bytes)
     best_h, best_cost = 7, None
     for h in (2, 3, 4, 5, 7):
@@ -193,21 +198,25 @@ class BlockedBitSlicedIndex:
         signature rows per word as the class count allows.
         """
         num_classes = len(class_names)
+        class_words = max(1, (num_classes + 31) // 32)
+        if fields_per_word is None:
+            fields_per_word = (
+                default_fields_per_word(num_classes) if class_words == 1 else 1
+            )
         if num_hashes is None:
+            # the picker must model the geometry actually built: an
+            # explicit fields_per_word override changes table bytes up
+            # to 32x and with it the speed-optimal probe count
             num_hashes = pick_num_hashes(
                 max_kmers_per_class,
                 fpr,
                 num_classes,
                 target_block_bytes=target_block_bytes,
                 size_factor=1.3 if size_factor is None else size_factor,
+                fields_per_word=fields_per_word,
             )
         if size_factor is None:
             size_factor = 1.0 if num_hashes == 1 else 1.3
-        class_words = max(1, (num_classes + 31) // 32)
-        if fields_per_word is None:
-            fields_per_word = (
-                default_fields_per_word(num_classes) if class_words == 1 else 1
-            )
         rows_per_block = default_rows_per_block(class_words, target_block_bytes)
         bits = cobs_signature_bits(max_kmers_per_class, fpr, num_hashes)
         bits = int(math.ceil(bits * size_factor))

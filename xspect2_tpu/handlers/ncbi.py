@@ -170,7 +170,9 @@ class NCBIHandler:
         passing = [
             r["accession"]
             for r in reports
-            if "accession" in r and _report_passes(r, min_n50, allow_inconclusive)
+            if isinstance(r, dict)
+            and "accession" in r
+            and _report_passes(r, min_n50, allow_inconclusive)
         ]
         return passing[:count]
 

@@ -284,7 +284,12 @@ class ProbabilisticFilterModel:
             os.environ.get("XSPECT_MAX_FAST_BATCH_BASES", 1 << 28)
         )
         cap = max(rpc, (max_bases // length) // rpc * rpc)
+        # bound in-flight slices at 3 so only a few packed buffers are
+        # device-resident at once (the next slice's packing overlaps the
+        # previous slice's execution; an unbounded queue would re-create
+        # the whole-file-in-HBM problem the cap exists to avoid)
         pending = []
+        parts = []
         for s0 in range(0, n, cap):
             sl = mat[s0 : s0 + cap]
             m = len(sl)
@@ -296,9 +301,11 @@ class ProbabilisticFilterModel:
                 sl, step=step, reads_per_chunk=rpc, block=False
             )
             pending.append((out, m))
-        counts = np.concatenate(
-            [np.asarray(out)[:m] for out, m in pending]
-        ).astype(np.int64)
+            while len(pending) >= 3:
+                out, m = pending.pop(0)
+                parts.append(np.asarray(out)[:m])
+        parts.extend(np.asarray(out)[:m] for out, m in pending)
+        counts = np.concatenate(parts).astype(np.int64)
 
         nk = math.ceil((length - self.k + 1) / step)
         hits: dict[str, dict[str, int]] = {}

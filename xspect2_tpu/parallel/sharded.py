@@ -319,9 +319,16 @@ class ShardedClassifier:
 
         if not self._replicate_out and _jax.process_count() > 1:
             # local-rows mode: assemble only this process's data shards
-            # (row order preserved; includes this shard's padding rows)
-            shards = sorted(hits.addressable_shards, key=lambda s: s.index[0].start or 0)
-            local = np.concatenate([np.asarray(s.data) for s in shards])
+            # (row order preserved; includes this shard's padding rows).
+            # The output is replicated over the cls axis, so devices
+            # differing only in cls coordinate hold identical row blocks
+            # — keep one shard per distinct row range
+            by_start = {}
+            for s in hits.addressable_shards:
+                by_start.setdefault(s.index[0].start or 0, s)
+            local = np.concatenate(
+                [np.asarray(by_start[k].data) for k in sorted(by_start)]
+            )
             return local[:, : self.index.num_classes].astype(np.int64)
         return np.asarray(hits)[:n, : self.index.num_classes].astype(np.int64)
 

@@ -54,6 +54,7 @@ def train_pangenome(
             )
 
     results: dict[str, str] = {}
+    max_retries = max(1, max_retries)  # 0 would silently skip every genus
     for genus in genera:
         last_error: Exception | None = None
         for attempt in range(max_retries):

@@ -173,9 +173,14 @@ def _rebuild_genus(meta: dict, ncbi_api_key: str | None) -> None:
             model_type=meta["model_type"],
             base_path=get_xspect_model_path(),
             fpr=meta.get("fpr", 0.01),
+        )
+        # fit() overwrites training_accessions from its own parameter, so
+        # provenance must flow through the call to survive in metadata
+        model.fit(
+            meta_fasta,
+            meta["model_display_name"],
             training_accessions=accessions,
         )
-        model.fit(meta_fasta, meta["model_display_name"])
         model.save()
 
 
@@ -211,14 +216,15 @@ def _rebuild_mlst(meta: dict) -> None:
 
 def _import_metadata_only(meta: dict) -> None:
     """Degraded import: metadata (+ scores.csv when present) without an index."""
-    model_dir = get_xspect_model_path() / meta["model_slug"]
+    slug = meta.get("model_slug", meta["_path"].stem)
+    model_dir = get_xspect_model_path() / slug
     model_dir.mkdir(parents=True, exist_ok=True)
     clean = {k: v for k, v in meta.items() if not k.startswith("_")}
     clean["needs_rebuild"] = True
-    (get_xspect_model_path() / f"{meta['model_slug']}.json").write_text(
+    (get_xspect_model_path() / f"{slug}.json").write_text(
         json.dumps(clean, indent=4), encoding="utf-8"
     )
-    src_scores = meta["_path"].parent / meta["model_slug"] / "scores.csv"
+    src_scores = meta["_path"].parent / slug / "scores.csv"
     if src_scores.exists():
         shutil.copy(src_scores, model_dir / "scores.csv")
 

@@ -85,8 +85,8 @@ a.slug{cursor:pointer;color:var(--acc);text-decoration:underline;font-size:.85em
 <script>
 const $ = (id) => document.getElementById(id);
 const api = (p) => fetch(p).then(r => r.json());
-const esc = (s) => String(s).replace(/[&<>"]/g, c =>
-  ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
+const esc = (s) => String(s).replace(/[&<>"']/g, c =>
+  ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
 
 document.querySelectorAll('nav button').forEach(b => b.onclick = () => {
   document.querySelectorAll('nav button').forEach(x => x.classList.remove('active'));
