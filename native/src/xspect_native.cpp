@@ -99,6 +99,11 @@ inline void for_each_canonical_kmer(const uint8_t* codes, int64_t n, int k,
 
 extern "C" {
 
+// ABI handshake for the ctypes loader: bump whenever an exported
+// signature changes so a stale prebuilt .so is refused instead of
+// being called with misaligned arguments (xspect2_tpu/native.py).
+int32_t xs_abi_version(void) { return 2; }
+
 // ---------------------------------------------------------------- parsing
 
 // First pass: count bases and records. Returns 0 on success.

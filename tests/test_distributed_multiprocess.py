@@ -65,6 +65,17 @@ WORKER = textwrap.dedent(
 
     out = os.environ["XS_OUT"] + f".p{os.environ['XS_PID']}.npy"
     np.save(out, hits)
+
+    # local-rows mode: each process keeps only its own data-shard rows
+    # and reports their global offset; 50 reads pad to 64 so the tail
+    # process must trim the padding rows from its slice
+    clf_local = ShardedClassifier(idx, mesh, chunk=1024, replicate_out=False)
+    local, row_start = clf_local.count_hits_reads(reads[:50], reads_per_chunk=16)
+    np.savez(
+        os.environ["XS_OUT"] + f".local{os.environ['XS_PID']}.npz",
+        hits=local,
+        row_start=row_start,
+    )
     print(json.dumps({"ok": True, "pid": int(os.environ["XS_PID"])}))
     """
 )
@@ -165,3 +176,13 @@ def test_two_process_global_mesh(tmp_path):
         reads, reads_per_chunk=16, wire="raw"
     )
     np.testing.assert_array_equal(h0, ref)
+
+    # local-rows pieces tile the (50-read) global result exactly once,
+    # with padding rows trimmed by the tail process
+    assembled = np.full_like(ref[:50], -1)
+    for pid in range(2):
+        part = np.load(f"{out_base}.local{pid}.npz")
+        rows, start = part["hits"], int(part["row_start"])
+        assert (assembled[start : start + len(rows)] == -1).all()
+        assembled[start : start + len(rows)] = rows
+    np.testing.assert_array_equal(assembled, ref[:50])

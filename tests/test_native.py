@@ -96,3 +96,36 @@ def test_native_threaded_insert_boundary(rng):
     native.insert_kmers(idx1, 0, codes, num_threads=1)
     native.insert_kmers(idx2, 0, codes, num_threads=4)
     np.testing.assert_array_equal(idx1.table, idx2.table)
+
+
+def test_stale_abi_library_is_refused(tmp_path):
+    """A prebuilt .so from another commit must be rejected, not miscalled.
+
+    Signatures changed in place across commits (fields_per_word was
+    inserted mid-argument-list); calling a stale binary with the new
+    argtypes would silently corrupt indices.  The loader handshakes via
+    xs_abi_version and refuses anything that predates or mismatches it.
+    """
+    import subprocess
+    import sys
+
+    src = tmp_path / "stale.cpp"
+    # a library that predates the handshake entirely (no xs_abi_version)
+    src.write_text('extern "C" int xs_scan_file() { return -1; }\n')
+    so = tmp_path / "libstale.so"
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(so), str(src)], check=True
+    )
+    assert native._try_open(so) is None
+
+    # and one that reports the wrong generation
+    src.write_text('extern "C" int xs_abi_version() { return -12345; }\n')
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(so), str(src)], check=True
+    )
+    assert native._try_open(so) is None
+
+    # the real build passes the handshake
+    real = native._load()
+    if real is not None:
+        assert real.xs_abi_version() == native.ABI_VERSION

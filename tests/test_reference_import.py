@@ -158,6 +158,34 @@ def test_import_zip_and_metadata_only_fallback(data_root, tmp_path, monkeypatch)
     assert (get_xspect_model_path() / "testus-species" / "scores.csv").exists()
 
 
+def test_import_sanitizes_hostile_slugs(data_root, tmp_path, monkeypatch):
+    """Bundle metadata is untrusted: traversal slugs must stay inside the registry."""
+    monkeypatch.setenv("XSPECT_NCBI_URL", "http://127.0.0.1:1")  # unreachable
+    from xspect2_tpu.definitions import get_xspect_model_path
+    from xspect2_tpu.reference_import import import_reference_models
+
+    bundle = tmp_path / "bundle"
+    bundle.mkdir()
+    (bundle / "evil.json").write_text(
+        json.dumps(
+            {
+                "model_slug": "../../escape",
+                "model_display_name": "../../escape",
+                "model_class": "ProbabilisticFilterModel",
+                "model_type": "Species",
+                "k": 21,
+            }
+        )
+    )
+    statuses = import_reference_models(bundle, rebuild=False)
+    assert len(statuses) == 1
+    # nothing escaped the registry; the sanitized slug landed inside it
+    assert not (tmp_path / "escape.json").exists()
+    assert not (get_xspect_model_path().parent.parent / "escape.json").exists()
+    written = list(get_xspect_model_path().glob("*.json"))
+    assert any("escape" in p.name and ".." not in p.name for p in written)
+
+
 def test_cli_import_command(services, data_root, tmp_path, monkeypatch):
     monkeypatch.setenv("XSPECT_NCBI_URL", services.url)
     monkeypatch.setenv("XSPECT_PUBMLST_URL", f"{services.url}/db")

@@ -50,7 +50,9 @@ def update_model_metadata(model_slug: str, author: str, author_email: str) -> No
     model_metadata = get_model_metadata(model_slug)
     model_metadata["author"] = author
     model_metadata["author_email"] = author_email
-    model_path = get_xspect_model_path() / (model_slug + ".json")
+    # slugify before path use: slugs reach this via the web API, so a
+    # raw join would let "../"-style input write outside the registry
+    model_path = get_xspect_model_path() / (slugify(model_slug) + ".json")
     model_path.write_text(dumps(model_metadata, indent=4), encoding="utf-8")
 
 
@@ -59,7 +61,7 @@ def update_model_display_name(
 ) -> None:
     model_metadata = get_model_metadata(model_slug)
     model_metadata["display_names"][filter_id] = display_name
-    model_path = get_xspect_model_path() / (model_slug + ".json")
+    model_path = get_xspect_model_path() / (slugify(model_slug) + ".json")
     model_path.write_text(dumps(model_metadata, indent=4), encoding="utf-8")
 
 

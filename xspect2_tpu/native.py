@@ -13,12 +13,73 @@ from pathlib import Path
 
 import numpy as np
 
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB_PATHS = [
-    Path(__file__).resolve().parent.parent / "native" / "build" / "libxspect.so",
+    _NATIVE_DIR / "build" / "libxspect.so",
     Path(__file__).resolve().parent / "libxspect.so",
 ]
 
+# Exported C signatures may change between commits; the library reports
+# its generation via xs_abi_version() and the loader refuses anything
+# else (a stale .so called with the new argtypes would corrupt indices
+# silently, not just crash).
+ABI_VERSION = 2
+
 _lib = None
+_build_attempted = False
+
+
+def _try_open(path: Path):
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    try:
+        lib.xs_abi_version.restype = ctypes.c_int
+        version = lib.xs_abi_version()
+    except AttributeError:
+        version = -1  # predates the handshake
+    if version != ABI_VERSION:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ignoring stale native library %s (abi %d, need %d): "
+            "rebuild with `make -C native`",
+            path,
+            version,
+            ABI_VERSION,
+        )
+        return None
+    _configure(lib)
+    return lib
+
+
+def _build():
+    """One-shot best-effort `make -C native` (serialized across processes)."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    if not (_NATIVE_DIR / "Makefile").exists():
+        return
+    import fcntl
+    import subprocess
+
+    build_dir = _NATIVE_DIR / "build"
+    try:
+        build_dir.mkdir(parents=True, exist_ok=True)
+        with open(build_dir / ".build.lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if _try_open(_LIB_PATHS[0]) is not None:
+                return  # a sibling process built it while we waited
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                capture_output=True,
+                timeout=300,
+                check=False,
+            )
+    except Exception:  # noqa: BLE001 - fallbacks cover every entry point
+        pass
 
 
 def _load():
@@ -27,15 +88,15 @@ def _load():
         return _lib
     if os.environ.get("XSPECT_NO_NATIVE"):
         return None
-    for p in _LIB_PATHS:
-        if p.exists():
-            try:
-                lib = ctypes.CDLL(str(p))
-            except OSError:
-                continue
-            _configure(lib)
-            _lib = lib
-            return lib
+    for attempt in range(2):
+        for p in _LIB_PATHS:
+            if p.exists():
+                lib = _try_open(p)
+                if lib is not None:
+                    _lib = lib
+                    return lib
+        if attempt == 0:
+            _build()
     return None
 
 

@@ -723,16 +723,27 @@ def pack_reads_wire(reads: np.ndarray, k: int, n_pad: int):
         offs = np.arange(0, read_len, k, dtype=np.int32)
         bad_rows = np.concatenate([bad_rows, np.repeat(pad_rows, len(offs))])
         bad_cols = np.concatenate([bad_cols, np.tile(offs, len(pad_rows))])
-    # pad patch list to a power of two to bound jit variants
-    m = len(bad_rows)
-    cap = _next_pow2(max(8, m)) if m else 0
-    if cap:
-        sr = np.full(cap, n_pad, dtype=np.int32)
-        sc = np.zeros(cap, dtype=np.int32)
-        sr[:m] = bad_rows
-        sc[:m] = bad_cols
-        bad_rows, bad_cols = sr, sc
+    bad_rows, bad_cols = _pad_patch_list((bad_rows, bad_cols), (n_pad, 0))
     return packed, bad_rows, bad_cols
+
+
+def _pad_patch_list(arrays, sentinels):
+    """Pad parallel int32 patch arrays to a power-of-two length.
+
+    Bounds the number of jit shape variants the patch list can create;
+    ``sentinels`` fill the tail (pointing past the data so the device
+    scatter drops them via ``mode="drop"``).  Empty lists stay empty.
+    """
+    m = len(arrays[0])
+    cap = _next_pow2(max(8, m)) if m else 0
+    if not cap:
+        return tuple(arrays)
+    out = []
+    for arr, sentinel in zip(arrays, sentinels):
+        padded = np.full(cap, sentinel, dtype=np.int32)
+        padded[:m] = arr
+        out.append(padded)
+    return tuple(out)
 
 
 class DeviceQueryEngine:
@@ -748,7 +759,7 @@ class DeviceQueryEngine:
         self.table = jnp.asarray(index.device_table())
 
     def count_hits(
-        self, batch: PreparedBatch, block: bool = True, wire: str = "packed"
+        self, batch: PreparedBatch, block: bool = True, wire: str = "auto"
     ):
         """Hit counts: int64 [batch.num_records, num_classes].
 
@@ -756,15 +767,26 @@ class DeviceQueryEngine:
         synchronizing (slice ``[:num_records]`` after ``np.asarray``);
         callers dispatching several queries (e.g. one per MLST locus)
         pay the device round-trip latency once instead of per call.
-        ``wire="packed"`` (default) ships 2-bit codes + record offsets
-        and derives per-position metadata on device (~25x fewer wire
-        bytes); ``wire="raw"`` ships codes/rec_ids/valid verbatim.
+        ``wire="packed"`` ships 2-bit codes + record offsets and derives
+        per-position metadata on device (~25x fewer wire bytes);
+        ``wire="raw"`` ships codes/rec_ids/valid verbatim.  The default
+        ``"auto"`` picks packed whenever the batch carries offsets
+        (:func:`prepare_batch` does; :func:`prepare_fixed_batch` does
+        not); requesting ``"packed"`` explicitly on an offset-less batch
+        raises rather than silently shipping the fat wire.
         """
         idx = self.index
-        if wire not in ("packed", "raw"):
+        if wire not in ("auto", "packed", "raw"):
             raise ValueError(
-                f"unknown wire format {wire!r}: expected 'packed' or 'raw'"
+                f"unknown wire format {wire!r}: expected 'auto', 'packed' or 'raw'"
             )
+        if wire == "packed" and batch.offsets is None:
+            raise ValueError(
+                "wire='packed' requires a batch with record offsets "
+                "(prepare_batch); this batch has none"
+            )
+        if wire == "auto":
+            wire = "packed" if batch.offsets is not None else "raw"
         if batch.num_records == 0:
             return np.zeros((0, idx.num_classes), dtype=np.int64)
         max_records = _next_pow2(max(8, batch.num_records))
@@ -781,7 +803,7 @@ class DeviceQueryEngine:
             max_records=max_records,
             fields_per_word=idx.fields_per_word,
         )
-        if wire == "packed" and batch.offsets is not None:
+        if wire == "packed":
             from xspect2_tpu import native
 
             with profiling.phase("query.pack"):
@@ -794,12 +816,7 @@ class DeviceQueryEngine:
                 bad_pos = np.nonzero(
                     batch.codes[:n_real].astype(np.uint8) > 3
                 )[0].astype(np.int32)
-                m = len(bad_pos)
-                cap = _next_pow2(max(8, m)) if m else 0
-                if cap:
-                    sent = np.full(cap, len(batch.codes), dtype=np.int32)
-                    sent[:m] = bad_pos
-                    bad_pos = sent
+                (bad_pos,) = _pad_patch_list((bad_pos,), (len(batch.codes),))
                 offsets = np.full(max_records + 1, n_real, dtype=np.int32)
                 offsets[: len(batch.offsets)] = batch.offsets
             with profiling.phase("query.dispatch"):

@@ -298,6 +298,12 @@ class ShardedClassifier:
         multi-chip analogue of
         :meth:`~xspect2_tpu.ops.query.DeviceQueryEngine.count_hits_reads`
         (matches it exactly; pinned by tests/test_parallel.py).
+
+        In local-rows mode (``replicate_out=False`` on a multi-process
+        mesh) the return value is ``(local_hits, row_start)``: this
+        process's contiguous slice of the global [N, C] result (padding
+        rows trimmed) plus the global row index of its first row, so
+        callers can map rows back to input reads.
         """
         n, read_len = reads.shape
         unit = self.n_data * reads_per_chunk
@@ -315,21 +321,33 @@ class ShardedClassifier:
             reads, NamedSharding(self.mesh, P(DATA_AXIS, None))
         )
         hits = step_fn(self.table3, reads_sharded)
-        import jax as _jax
 
-        if not self._replicate_out and _jax.process_count() > 1:
-            # local-rows mode: assemble only this process's data shards
-            # (row order preserved; includes this shard's padding rows).
+        if not self._replicate_out and jax.process_count() > 1:
+            # local-rows mode: assemble only this process's data shards.
             # The output is replicated over the cls axis, so devices
             # differing only in cls coordinate hold identical row blocks
             # — keep one shard per distinct row range
             by_start = {}
             for s in hits.addressable_shards:
                 by_start.setdefault(s.index[0].start or 0, s)
+            starts = sorted(by_start)
+            expected = starts[0] + by_start[starts[0]].data.shape[0]
+            for st in starts[1:]:
+                if st != expected:
+                    raise RuntimeError(
+                        "local data shards are not contiguous on this "
+                        "process; use replicate_out=True for this mesh"
+                    )
+                expected += by_start[st].data.shape[0]
             local = np.concatenate(
-                [np.asarray(by_start[k].data) for k in sorted(by_start)]
+                [np.asarray(by_start[st].data) for st in starts]
             )
-            return local[:, : self.index.num_classes].astype(np.int64)
+            # trim global padding rows (they sit past row n) so every
+            # returned row maps to input read row_start + i
+            row_start = starts[0]
+            n_valid = max(0, min(n, row_start + local.shape[0]) - row_start)
+            local = local[:n_valid, : self.index.num_classes].astype(np.int64)
+            return local, row_start
         return np.asarray(hits)[:n, : self.index.num_classes].astype(np.int64)
 
     def classify(self, records, step: int = 1):

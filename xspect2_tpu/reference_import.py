@@ -28,6 +28,7 @@ status so the user knows to retrain.
 
 import json
 import logging
+import re
 import shutil
 from pathlib import Path
 from tempfile import TemporaryDirectory
@@ -41,6 +42,18 @@ from xspect2_tpu.file_io import (
 )
 
 logger = logging.getLogger("xspect2_tpu.reference_import")
+
+def _safe_slug(name, fallback: str = "imported-model") -> str:
+    """Reduce an untrusted bundle name to a filesystem-safe slug.
+
+    Bundle metadata is attacker-controlled (any zip can be imported);
+    slugs and display names must never escape the model registry via
+    path separators or ``..`` components.
+    """
+    name = re.sub(r"[^A-Za-z0-9._-]+", "-", str(name or ""))
+    name = re.sub(r"\.{2,}", ".", name).strip("-.")
+    return name or fallback
+
 
 REFERENCE_MODEL_CLASSES = {
     "ProbabilisticFilterModel",
@@ -162,7 +175,7 @@ def _rebuild_genus(meta: dict, ncbi_api_key: str | None) -> None:
         genome_dir.mkdir()
         for acc, path in paths.items():
             shutil.copy(path, genome_dir / f"{acc}.fasta")
-        meta_fasta = tmp / f"{meta['model_display_name']}.fasta"
+        meta_fasta = tmp / f"{_safe_slug(meta['model_display_name'])}.fasta"
         concatenate_metagenome(genome_dir, meta_fasta)
 
         model = ProbabilisticSingleFilterModel(
@@ -216,10 +229,11 @@ def _rebuild_mlst(meta: dict) -> None:
 
 def _import_metadata_only(meta: dict) -> None:
     """Degraded import: metadata (+ scores.csv when present) without an index."""
-    slug = meta.get("model_slug", meta["_path"].stem)
+    slug = _safe_slug(meta.get("model_slug") or meta["_path"].stem)
     model_dir = get_xspect_model_path() / slug
     model_dir.mkdir(parents=True, exist_ok=True)
     clean = {k: v for k, v in meta.items() if not k.startswith("_")}
+    clean["model_slug"] = slug  # keep the field consistent with the file name
     clean["needs_rebuild"] = True
     (get_xspect_model_path() / f"{slug}.json").write_text(
         json.dumps(clean, indent=4), encoding="utf-8"

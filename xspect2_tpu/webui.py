@@ -109,7 +109,7 @@ async function loadModels() {
       const slug = slugOf(n, type);
       html += `<div class="card" id="card-${slug}"><b>${esc(n)}</b>
         <span class="muted">(${esc(type)})</span>
-        <a class="slug" onclick="toggleDetail('${slug}')">details</a>
+        <a class="slug" data-act="detail" data-slug="${slug}">details</a>
         <div class="detail" id="detail-${slug}">loading…</div></div>`;
     }
   }
@@ -139,15 +139,19 @@ async function renderDetail(slug) {
     if (d[f] !== undefined && d[f] !== null)
       rows += `<tr><td>${f}</td><td>${esc(JSON.stringify(d[f]))}</td></tr>`;
   }
+  // interactive elements use data-attributes + a delegated listener:
+  // interpolating untrusted values (display-name filter ids, metadata
+  // strings) into inline onclick JS would re-open them as code after
+  // the HTML parser decodes esc()'s entity escapes
   rows += `<tr><td>author</td><td>
-      <input id="auth-${slug}" value="${esc(d.author ?? '')}">
-      <input id="mail-${slug}" value="${esc(d.author_email ?? '')}" placeholder="email">
-      <button class="sm" onclick="saveAuthor('${slug}')">save</button></td></tr>`;
+      <input class="auth-name" value="${esc(d.author ?? '')}">
+      <input class="auth-mail" value="${esc(d.author_email ?? '')}" placeholder="email">
+      <button class="sm" data-act="save-author" data-slug="${slug}">save</button></td></tr>`;
   let dns = '';
   for (const [fid, name] of Object.entries(d.display_names || {})) {
     dns += `<div class="dn-row"><span class="muted">${esc(fid)}</span>
-      <input id="dn-${slug}-${esc(fid)}" value="${esc(name)}">
-      <button class="sm" onclick="saveDisplayName('${slug}','${esc(fid)}')">rename</button></div>`;
+      <input class="dn-input" value="${esc(name)}">
+      <button class="sm" data-act="rename" data-slug="${slug}" data-fid="${esc(fid)}">rename</button></div>`;
   }
   $('detail-' + slug).innerHTML = `<table class="meta">${rows}</table>
     ${dns ? '<b style="font-size:.85em">Display names</b>' + dns : ''}
@@ -156,20 +160,31 @@ async function renderDetail(slug) {
     <div class="status" id="dstat-${slug}"></div>`;
 }
 
-async function saveAuthor(slug) {
-  const q = `model_slug=${slug}&author=${encodeURIComponent($('auth-'+slug).value)}` +
-            `&author_email=${encodeURIComponent($('mail-'+slug).value)}`;
+async function saveAuthor(slug, btn) {
+  const td = btn.closest('td');
+  const q = `model_slug=${slug}` +
+            `&author=${encodeURIComponent(td.querySelector('.auth-name').value)}` +
+            `&author_email=${encodeURIComponent(td.querySelector('.auth-mail').value)}`;
   const r = await fetch('/api/model-metadata?' + q, {method:'POST'});
   $('dstat-'+slug).textContent = r.ok ? 'Saved.' : 'Error saving metadata.';
 }
 
-async function saveDisplayName(slug, fid) {
+async function saveDisplayName(slug, fid, btn) {
+  const value = btn.closest('.dn-row').querySelector('.dn-input').value;
   const q = `model_slug=${slug}&filter_id=${encodeURIComponent(fid)}` +
-            `&display_name=${encodeURIComponent($('dn-'+slug+'-'+fid).value)}`;
+            `&display_name=${encodeURIComponent(value)}`;
   const r = await fetch('/api/model-display-name?' + q, {method:'POST'});
   $('dstat-'+slug).textContent = r.ok ? 'Renamed.' : 'Error renaming.';
   if (r.ok) renderDetail(slug);
 }
+
+document.addEventListener('click', (e) => {
+  const b = e.target.closest('[data-act]');
+  if (!b) return;
+  if (b.dataset.act === 'detail') toggleDetail(b.dataset.slug);
+  else if (b.dataset.act === 'save-author') saveAuthor(b.dataset.slug, b);
+  else if (b.dataset.act === 'rename') saveDisplayName(b.dataset.slug, b.dataset.fid, b);
+});
 
 // ------------------------------------------------------------ upload + bars
 
