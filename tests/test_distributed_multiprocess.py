@@ -76,7 +76,14 @@ WORKER = textwrap.dedent(
         hits=local,
         row_start=row_start,
     )
-    print(json.dumps({"ok": True, "pid": int(os.environ["XS_PID"])}))
+
+    # host-sharded input: each process passes ONLY its half of the reads
+    # (the multi-host data-loading path); reuses clf_local's compiled step
+    pid = int(os.environ["XS_PID"])
+    mine = reads[pid * 32 : (pid + 1) * 32]
+    hs = clf_local.count_hits_reads_local(mine, reads_per_chunk=16)
+    np.save(os.environ["XS_OUT"] + f".hostshard{pid}.npy", hs)
+    print(json.dumps({"ok": True, "pid": pid}))
     """
 )
 
@@ -186,3 +193,8 @@ def test_two_process_global_mesh(tmp_path):
         assert (assembled[start : start + len(rows)] == -1).all()
         assembled[start : start + len(rows)] = rows
     np.testing.assert_array_equal(assembled, ref[:50])
+
+    # host-sharded input: each process fed its own half and got its own rows
+    for pid in range(2):
+        hs = np.load(f"{out_base}.hostshard{pid}.npy")
+        np.testing.assert_array_equal(hs, ref[pid * 32 : (pid + 1) * 32])

@@ -121,3 +121,27 @@ def test_sharded_reads_fast_path_matches_single_device(big_index, rng, mesh_shap
         )
         got = sc.count_hits_reads(reads, step=step, reads_per_chunk=64)
         np.testing.assert_array_equal(got, want, err_msg=f"{mesh_shape} step={step}")
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1)])
+def test_host_sharded_input_matches_global(big_index, rng, mesh_shape):
+    """count_hits_reads_local == count_hits_reads (single-process case).
+
+    The host-sharded input path places each process's reads directly on
+    its own devices instead of routing through a global host array; on
+    one process it must be bit-identical to the global-input path.
+    """
+    idx, seqs = big_index
+    names = sorted(seqs)
+    reads = np.zeros((70, 150), dtype=np.uint8)
+    for i in range(70):
+        src = seqs[names[int(rng.integers(0, len(names)))]]
+        start = int(rng.integers(0, len(src) - 150))
+        reads[i] = dna.encode(src[start : start + 150])
+    reads[3, 10] = 255  # N base
+
+    mesh = make_mesh(*mesh_shape)
+    sc = ShardedClassifier(idx, mesh, chunk=512)
+    want = sc.count_hits_reads(reads, reads_per_chunk=8)
+    got = sc.count_hits_reads_local(reads, reads_per_chunk=8)
+    np.testing.assert_array_equal(got, want, err_msg=f"{mesh_shape}")

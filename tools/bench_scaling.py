@@ -70,18 +70,26 @@ WORKER = textwrap.dedent(
 
     n_data = len(jax.devices())
     mesh = make_mesh(n_data=n_data, n_cls=1)
-    # throughput mode: each process keeps its own data-shard rows (no
-    # cross-process result replication — hosts handle their own reads)
+    # production multi-host shape: host-sharded input (each process
+    # feeds only its own reads) + local-rows output (each process keeps
+    # its own data-shard results)
     clf = ShardedClassifier(idx, mesh, chunk=2048, replicate_out=False)
     rpc = 512
-    hits = clf.count_hits_reads(reads, reads_per_chunk=rpc)  # warmup+compile
-    assert hits.shape[0] >= n // max(1, nproc)
+    pid = int(os.environ.get("XS_PID", 0))
+    n_local = n // nproc
+    mine = reads[pid * n_local : (pid + 1) * n_local]
+
+    def run_once():
+        return clf.count_hits_reads_local(mine, reads_per_chunk=rpc)
+
+    hits = run_once()  # warmup+compile
+    assert hits.shape[0] == n_local
     iters = int(os.environ.get("XS_ITERS", "3"))
     t0 = time.time()
     for _ in range(iters):
-        hits = clf.count_hits_reads(reads, reads_per_chunk=rpc)
+        hits = run_once()
     dt = (time.time() - t0) / iters
-    print(json.dumps({"pid": int(os.environ.get("XS_PID", 0)),
+    print(json.dumps({"pid": pid,
                       "reads_per_s": n / dt, "n_devices": n_data}))
     """
 )
@@ -133,6 +141,47 @@ def _run(nproc: int, reads: int, devices_per_proc: int = 1, pin: bool = True):
     return min(r["reads_per_s"] for r in results)
 
 
+def _run_independent(reads: int, pin: bool = True):
+    """Control: two UNCOORDINATED 1-proc workers, half the reads each.
+
+    No distributed runtime, no collectives — the only thing the two
+    processes share is the host (cores pinned separately, but DRAM
+    bandwidth and LLC are common).  The global rate is bounded by the
+    slower worker: 2 * min(worker rates).  Comparing this against the
+    true 2-process distributed rate isolates framework overhead from
+    shared-host contention.
+    """
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            XS_ROOT=str(ROOT),
+            XS_COORD="",
+            XS_PID="0",
+            XS_NPROC="1",
+            XS_READS=str(reads // 2),
+            JAX_PLATFORMS="cpu",
+            XSPECT_JAX_PLATFORM="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        )
+        cmd = [sys.executable, "-c", WORKER]
+        if pin:
+            cmd = ["taskset", "-c", str(pid)] + cmd
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+        )
+    rates = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=560)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{stdout}\n{stderr[-2000:]}")
+        rates.append(json.loads(stdout.strip().splitlines()[-1])["reads_per_s"])
+    return 2 * min(rates)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=32768)
@@ -149,11 +198,18 @@ def main():
     # attempts per configuration filters them out
     r1 = max(_run(1, args.reads, pin=have_taskset) for _ in range(3))
     r2 = max(_run(2, args.reads, pin=have_taskset) for _ in range(3))
+    rc = max(_run_independent(args.reads, pin=have_taskset) for _ in range(3))
     eff = r2 / (2 * r1)
+    eff_control = rc / (2 * r1)
     out = {
         "reads_per_s_1proc_1core": round(r1),
         "reads_per_s_2proc_2core": round(r2),
         "scaling_efficiency_2proc": round(eff, 3),
+        # two uncoordinated processes on the same host: the ceiling that
+        # shared DRAM/LLC allows with ZERO framework/collective cost
+        "scaling_efficiency_2indep_control": round(eff_control, 3),
+        # distributed rate vs that ceiling = framework-attributable part
+        "scaling_efficiency_vs_control": round(eff / eff_control, 3),
         "core_pinned": have_taskset,
     }
     if not args.skip_spmd_overhead:

@@ -350,6 +350,75 @@ class ShardedClassifier:
             return local, row_start
         return np.asarray(hits)[:n, : self.index.num_classes].astype(np.int64)
 
+    def count_hits_reads_local(
+        self, reads: np.ndarray, step: int = 1, reads_per_chunk: int = 1024
+    ) -> np.ndarray:
+        """Host-sharded input: each process passes ONLY its own reads.
+
+        The multi-host data-loading path (SURVEY §2.4: host-side sharded
+        input for DP over reads): every process reads its own slice of
+        the input (its own FASTQ shard), pads it locally, and places it
+        directly onto its addressable devices — no process ever
+        materializes, pads, or copies the global read set the way
+        :meth:`count_hits_reads` does.  All processes must pass the SAME
+        number of rows (pad the tail host's input if uneven).  Returns
+        this process's [n_local, C] hit counts (row i = local read i).
+        """
+        n_local, read_len = reads.shape
+        nproc = jax.process_count()
+        n_data_local = self.n_data // nproc
+        if n_data_local * nproc != self.n_data:
+            raise ValueError(
+                f"data axis ({self.n_data}) must divide evenly over "
+                f"{nproc} processes for host-sharded input"
+            )
+        unit = n_data_local * reads_per_chunk
+        n_local_pad = unit * _next_pow2(max(1, -(-n_local // unit)))
+        if n_local_pad != n_local:
+            pad = np.full((n_local_pad - n_local, read_len), 255, dtype=np.uint8)
+            reads = np.concatenate([reads, pad])
+
+        key = ("reads", read_len, step, reads_per_chunk)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_reads_step(
+                read_len, step, reads_per_chunk
+            )
+        step_fn = self._step_cache[key]
+
+        global_shape = (n_local_pad * nproc, read_len)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        row0 = jax.process_index() * n_local_pad
+        arrays = []
+        for dev, idx in sharding.addressable_devices_indices_map(
+            global_shape
+        ).items():
+            rows = idx[0]
+            lo = (rows.start or 0) - row0
+            hi = (global_shape[0] if rows.stop is None else rows.stop) - row0
+            if lo < 0 or hi > n_local_pad:
+                raise RuntimeError(
+                    "this process's devices do not own a contiguous "
+                    f"[{row0}, {row0 + n_local_pad}) row block; host-sharded "
+                    "input requires the default process-major device order"
+                )
+            arrays.append(jax.device_put(reads[lo:hi], dev))
+        reads_sharded = jax.make_array_from_single_device_arrays(
+            global_shape, sharding, arrays
+        )
+        hits = step_fn(self.table3, reads_sharded)
+
+        if self._replicate_out and nproc > 1:
+            full = np.asarray(hits)
+            local = full[row0 : row0 + n_local_pad]
+        else:
+            by_start = {}
+            for s in hits.addressable_shards:
+                by_start.setdefault(s.index[0].start or 0, s)
+            local = np.concatenate(
+                [np.asarray(by_start[st].data) for st in sorted(by_start)]
+            )
+        return local[:n_local, : self.index.num_classes].astype(np.int64)
+
     def classify(self, records, step: int = 1):
         """Full sharded classification of (name, codes) records.
 
