@@ -129,3 +129,35 @@ def test_stale_abi_library_is_refused(tmp_path):
     real = native._load()
     if real is not None:
         assert real.xs_abi_version() == native.ABI_VERSION
+
+
+def test_parser_edge_case_parity(tmp_path):
+    """Real-world file shapes: both parsers must agree record-for-record.
+
+    NCBI assemblies arrive line-wrapped with soft-masked (lowercase)
+    repeats; user files bring CRLF endings, blank lines, missing
+    trailing newlines, and FASTQ quality lines starting with '@'.
+    """
+    cases = {
+        "wrapped.fasta": ">chr1 desc\nACGTACGTAC\nGTACGTACGT\nACGT\n>chr2\nTTTT\n",
+        "lowercase.fasta": ">c1\nacgtACGTnN\n",
+        "crlf.fasta": ">c1 x\r\nACGT\r\nACGT\r\n>c2\r\nTTTT\r\n",
+        "no_trailing_nl.fasta": ">c1\nACGTACGT",
+        "blank_lines.fasta": ">c1\nACGT\n\nACGT\n\n>c2\nTTTT\n",
+        "at_quality.fastq": "@r1\r\nACGT\r\n+\r\n@@@@\r\n@r2\r\nTTTT\r\n+\r\nIIII\r\n",
+    }
+    for fname, content in cases.items():
+        path = tmp_path / fname
+        path.write_text(content)
+        py_records = [(r.id, dna.encode(r.seq)) for r in get_record_iterator(path)]
+        parsed = native.parse_file(path)
+        if parsed is None:  # no native build in this environment
+            pytest.skip("native library unavailable")
+        codes, offsets, ids = parsed
+        assert ids == [rid for rid, _ in py_records], fname
+        for i, (rid, py_codes) in enumerate(py_records):
+            np.testing.assert_array_equal(
+                codes[offsets[i] : offsets[i + 1]],
+                py_codes,
+                err_msg=f"{fname}:{rid}",
+            )
