@@ -9,6 +9,7 @@ from pathlib import Path
 
 import xspect2_tpu.model_management as mm
 from xspect2_tpu.file_io import prepare_input_output_paths
+from xspect2_tpu.model_cache import load_cached
 
 
 def classify_genus(
@@ -18,7 +19,7 @@ def classify_genus(
     from xspect2_tpu.models.single_filter_model import ProbabilisticSingleFilterModel
 
     model_path = mm.get_genus_model_path(model_genus)
-    model = ProbabilisticSingleFilterModel.load(model_path)
+    model = load_cached(ProbabilisticSingleFilterModel, model_path)
     input_paths, get_output_path = prepare_input_output_paths(input_path)
 
     for idx, current_path in enumerate(input_paths):
@@ -45,7 +46,7 @@ def classify_species(
         from xspect2_tpu.models.filter_model import ProbabilisticFilterModel as ModelClass
 
     model_path = mm.get_species_model_path(model_genus)
-    model = ModelClass.load(model_path)
+    model = load_cached(ModelClass, model_path)
     input_paths, get_output_path = prepare_input_output_paths(input_path)
 
     for idx, current_path in enumerate(input_paths):
@@ -69,7 +70,7 @@ def classify_mlst(
     from xspect2_tpu.models.mlst_model import ProbabilisticFilterMlstSchemeModel
 
     scheme_path = mm.get_mlst_model_path(organism, mlst_scheme)
-    model = ProbabilisticFilterMlstSchemeModel.load(scheme_path)
+    model = load_cached(ProbabilisticFilterMlstSchemeModel, scheme_path)
     input_paths, get_output_path = prepare_input_output_paths(input_path)
     for idx, current_path in enumerate(input_paths):
         result = model.predict(current_path, step=1, limit=limit)

@@ -13,6 +13,7 @@ from pathlib import Path
 
 from xspect2_tpu.file_io import filter_sequences, prepare_input_output_paths
 from xspect2_tpu.model_management import get_genus_model_path, get_species_model_path
+from xspect2_tpu.model_cache import load_cached
 
 
 def _filter_inputs_with_model(
@@ -66,7 +67,9 @@ def filter_species(
     """Filter sequences whose species score passes the threshold (or argmax)."""
     from xspect2_tpu.models.svm_model import ProbabilisticFilterSVMModel
 
-    model = ProbabilisticFilterSVMModel.load(get_species_model_path(model_genus))
+    model = load_cached(
+        ProbabilisticFilterSVMModel, get_species_model_path(model_genus)
+    )
     _filter_inputs_with_model(
         model,
         model_species,
@@ -90,7 +93,9 @@ def filter_genus(
     """Filter sequences whose genus score passes the threshold."""
     from xspect2_tpu.models.single_filter_model import ProbabilisticSingleFilterModel
 
-    model = ProbabilisticSingleFilterModel.load(get_genus_model_path(model_genus))
+    model = load_cached(
+        ProbabilisticSingleFilterModel, get_genus_model_path(model_genus)
+    )
     _filter_inputs_with_model(
         model,
         model_genus,
