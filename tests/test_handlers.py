@@ -230,3 +230,51 @@ def test_dns_failure_fails_fast():
     with pytest.raises(requests.ConnectionError):
         client.get_json("/x")
     assert time.time() - t0 < 2.0  # no 2+4+8s backoff sleeps
+
+
+def test_rate_limit_thread_safe(monkeypatch):
+    """Concurrent threads sharing one client never violate min_interval.
+
+    The web layer's background jobs can share an NCBIHandler via cached
+    models; slot reservation must be atomic under that concurrency."""
+    import threading
+    import time
+
+    from xspect2_tpu.handlers import http as http_mod
+    from xspect2_tpu.handlers.http import HttpClient
+
+    send_times = []
+    times_lock = threading.Lock()
+
+    class _Resp:
+        status_code = 200
+
+    def fake_request(method, url, **kwargs):
+        with times_lock:
+            send_times.append(time.monotonic())
+        return _Resp()
+
+    monkeypatch.setattr(http_mod.requests, "request", fake_request)
+    interval = 0.02
+    client = HttpClient("http://example.invalid", min_interval=interval)
+
+    def worker():
+        for _ in range(5):
+            client.request("GET", "/x")
+
+    t_start = time.monotonic()
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(send_times) == 20
+    # every send happens at or after its reserved slot, and slots are
+    # spaced exactly `interval` apart, so the i-th earliest send cannot
+    # precede t_start + i*interval: sustained throughput never exceeds
+    # the rate even when a delayed sender compresses an individual gap
+    for i, ts in enumerate(sorted(send_times)):
+        assert ts - t_start >= i * interval - 1e-3, (
+            f"send {i} at {ts - t_start:.4f}s < {i * interval:.4f}s"
+        )

@@ -18,6 +18,7 @@ local mock server.
 
 import logging
 import socket
+import threading
 import time
 
 import requests
@@ -60,15 +61,22 @@ class HttpClient:
         self.retries = retries
         self.backoff = backoff
         self.timeout = timeout
-        self._last_request = 0.0
+        # one client may be shared across threads (the web layer's
+        # background jobs reach handlers through cached models), so slot
+        # reservation is atomic: each caller takes the next free send
+        # time under the lock and sleeps outside it
+        self._slot_lock = threading.Lock()
+        self._next_slot = 0.0
 
     # ------------------------------------------------------------------ core
 
     def _wait_turn(self) -> None:
-        elapsed = time.time() - self._last_request
-        if elapsed < self.min_interval:
-            time.sleep(self.min_interval - elapsed)
-        self._last_request = time.time()
+        now = time.monotonic()
+        with self._slot_lock:
+            slot = max(now, self._next_slot)
+            self._next_slot = slot + self.min_interval
+        if slot > now:
+            time.sleep(slot - now)
 
     def _url(self, path: str) -> str:
         if path.startswith(("http://", "https://")):
