@@ -1,9 +1,12 @@
 """XspecT2-TPU CLI.
 
-Command tree mirrors the reference CLI (reference: src/xspect/main.py):
-``web``, ``all``, ``models {download,list,train {ncbi,directory,mlst}}``,
-``classify {genus,species,mlst}``, ``filter {genus,species}`` with the
-same options, prompts and registry-derived choices.
+The command tree and option surface follow the reference CLI contract
+(reference: src/xspect/main.py): ``web``, ``all``, ``models {download,
+list, import, train {ncbi,directory,mlst}}``, ``classify {genus,
+species, mlst}`` and ``filter {genus,species}``, with interactive
+prompts and model choices populated from the local registry at import
+time.  Shared option stacks are declared once as decorator factories
+below instead of per command.
 
 Run as ``python -m xspect2_tpu.main`` or via the ``xspect2`` console
 script.
@@ -21,12 +24,108 @@ from xspect2_tpu.model_management import (
     get_models,
 )
 
+# ------------------------------------------------------------------ helpers
+
 
 def _models_of(model_type: str) -> list[str]:
     try:
         return get_models().get(model_type, [])
     except Exception:  # registry unreadable at import time
         return []
+
+
+def _genus_option(model_type: str, help_text: str):
+    return click.option(
+        "-g",
+        "--genus",
+        "model_genus",
+        help=help_text,
+        type=click.Choice(_models_of(model_type)),
+        prompt=True,
+    )
+
+
+def _input_option():
+    return click.option(
+        "-i",
+        "--input-path",
+        help="Path to FASTA or FASTQ file for classification.",
+        type=click.Path(exists=True, dir_okay=True, file_okay=True),
+        prompt=True,
+        default=Path("."),
+    )
+
+
+def _output_option(stem: str, suffix: str, prompt: bool = False):
+    return click.option(
+        "-o",
+        "--output-path",
+        help="Path to the output file.",
+        type=click.Path(dir_okay=False, file_okay=True),
+        prompt=prompt,
+        default=Path(".") / f"{stem}_{uuid4()}.{suffix}",
+    )
+
+
+def _step_option():
+    return click.option(
+        "--sparse-sampling-step",
+        type=int,
+        help="Sparse sampling step (e.g. only every 500th kmer for 500).",
+        default=1,
+    )
+
+
+def _author_options(fn):
+    fn = click.option("--author", help="Author of the model.", default=None)(fn)
+    return click.option(
+        "--author-email", help="Email of the author.", default=None
+    )(fn)
+
+
+def _classification_output_option():
+    return click.option(
+        "--classification-output-path",
+        help="Optional path to the classification output file.",
+        type=click.Path(dir_okay=False, file_okay=True),
+    )
+
+
+def _display_names_flag():
+    return click.option(
+        "-n",
+        "--display-names",
+        help="Includes the display names next to taxonomy-IDs.",
+        is_flag=True,
+    )
+
+
+def _validation_flag():
+    return click.option(
+        "-v",
+        "--validation",
+        help="Detects misclassification for small reads or contigs.",
+        is_flag=True,
+    )
+
+
+def _require_choice(value, choices, what, context, prompt_text):
+    """Return a validated choice, prompting when no value was given."""
+    if value is None:
+        return click.prompt(prompt_text, type=click.Choice(choices))
+    if value not in choices:
+        raise click.BadParameter(
+            f"{what} '{value}' not found{context}. "
+            f"Available {what.lower()}s: {', '.join(choices)}"
+        )
+    return value
+
+
+def _opt_path(value) -> Path | None:
+    return Path(value) if value else None
+
+
+# --------------------------------------------------------------------- root
 
 
 @click.group()
@@ -45,6 +144,45 @@ def web(host, port):
     serve(host=host, port=port)
 
 
+# ------------------------------------------------------------- full pipeline
+
+
+class _PipelineRun:
+    """Output-path bookkeeping for one `xspect2 all` invocation."""
+
+    def __init__(self, output_dir: str | None):
+        self.run_id = uuid4()
+        self.out = (
+            Path(output_dir) if output_dir else Path(f"xspect_results_{self.run_id}")
+        )
+        self.filtered_dir = self.out / "filtered_sequences"
+        self.filtered_dir.mkdir(exist_ok=True, parents=True)
+
+    def path(self, stem: str, suffix: str = "json", filtered: bool = False) -> Path:
+        base = self.filtered_dir if filtered else self.out
+        return base / f"{stem}_{self.run_id}.{suffix}"
+
+    def filtered_inputs(self) -> list[Path]:
+        from xspect2_tpu.definitions import fasta_endings, fastq_endings
+
+        return [
+            p
+            for ending in fasta_endings + fastq_endings
+            for p in self.filtered_dir.glob(f"*.{ending}")
+        ]
+
+    def species_predictions(self) -> dict[str, str]:
+        """{result filename: predicted label} over this run's species JSONs."""
+        import json
+
+        out = {}
+        for p in self.out.glob(f"species_classification_{self.run_id}*.json"):
+            prediction = json.loads(p.read_text()).get("prediction")
+            if prediction is not None:
+                out[p.name] = prediction
+        return out
+
+
 @cli.command(
     name="all",
     help=(
@@ -52,22 +190,8 @@ def web(host, port):
         "classification, and MLST (if applicable)."
     ),
 )
-@click.option(
-    "-g",
-    "--genus",
-    "model_genus",
-    help="Genus of the model to use.",
-    type=click.Choice(_models_of("Species")),
-    prompt=True,
-)
-@click.option(
-    "-i",
-    "--input-path",
-    help="Path to FASTA or FASTQ file for classification.",
-    type=click.Path(exists=True, dir_okay=True, file_okay=True),
-    prompt=True,
-    default=Path("."),
-)
+@_genus_option("Species", "Genus of the model to use.")
+@_input_option()
 @click.option(
     "-o",
     "--output-dir",
@@ -82,24 +206,9 @@ def web(host, port):
     help="Threshold for genus filtering (default: 0.7).",
     default=0.7,
 )
-@click.option(
-    "--sparse-sampling-step",
-    type=int,
-    help="Sparse sampling step (e.g. only every 500th kmer for 500).",
-    default=1,
-)
-@click.option(
-    "-n",
-    "--display-names",
-    help="Includes the display names next to taxonomy-IDs.",
-    is_flag=True,
-)
-@click.option(
-    "-v",
-    "--validation",
-    help="Detects misclassification for small reads or contigs.",
-    is_flag=True,
-)
+@_step_option()
+@_display_names_flag()
+@_validation_flag()
 def all_pipeline(
     model_genus,
     input_path,
@@ -110,91 +219,76 @@ def all_pipeline(
     validation,
 ):
     """Run the full genus -> species -> (conditional) MLST pipeline."""
-    import json
-
     from xspect2_tpu import classify, filter_sequences
-    from xspect2_tpu.definitions import fasta_endings, fastq_endings
 
-    run_id = uuid4()
-    output_dir = Path(output_dir) if output_dir else Path(f"xspect_results_{run_id}")
-    output_dir.mkdir(exist_ok=True, parents=True)
-    input_path = Path(input_path)
+    # the reference pipeline hard-codes A. baumannii (tax id 470) as the
+    # MLST trigger (reference: src/xspect/main.py:157-177)
+    mlst_organism, mlst_trigger = "abaumannii", "470"
 
-    filtered_dir = output_dir / "filtered_sequences"
-    filtered_dir.mkdir(exist_ok=True, parents=True)
-
-    genus_filtered_path = filtered_dir / f"genus_filtered_{run_id}.fasta"
-    genus_classification_path = output_dir / f"genus_classification_{run_id}.json"
-    species_classification_path = output_dir / f"species_classification_{run_id}.json"
+    run = _PipelineRun(output_dir)
 
     click.echo(f"Step 1/3: Filtering for genus {model_genus}...")
     filter_sequences.filter_genus(
         model_genus,
-        input_path,
-        genus_filtered_path,
+        Path(input_path),
+        run.path("genus_filtered", "fasta", filtered=True),
         threshold,
-        genus_classification_path,
+        run.path("genus_classification"),
         sparse_sampling_step=sparse_sampling_step,
     )
-
-    ending_wildcards = [f"*.{e}" for e in fasta_endings + fastq_endings]
-    filtered_files = [p for e in ending_wildcards for p in filtered_dir.glob(e)]
-    if not filtered_files:
+    survivors = run.filtered_inputs()
+    if not survivors:
         click.echo("No sequences passed the genus filter. Pipeline aborted.")
         return
 
     click.echo(
-        f"Step 2/3: Classifying species for {len(filtered_files)} filtered file(s)..."
+        f"Step 2/3: Classifying species for {len(survivors)} filtered file(s)..."
     )
     classify.classify_species(
         model_genus,
-        filtered_dir,
-        species_classification_path,
+        run.filtered_dir,
+        run.path("species_classification"),
         sparse_sampling_step,
         display_names,
         validation,
         None,
     )
 
-    species_results = list(output_dir.glob(f"species_classification_{run_id}*.json"))
+    triggering = [
+        name
+        for name, prediction in run.species_predictions().items()
+        if prediction == mlst_trigger
+    ]
+    for name in triggering:
+        click.echo(f"Species prediction is {mlst_trigger} ({mlst_organism}) in {name}.")
 
-    mlst_needed = False
-    for species_result_path in species_results:
-        species_result = json.loads(species_result_path.read_text())
-        if species_result.get("prediction") == "470":
-            mlst_needed = True
-            click.echo(
-                f"Species prediction is 470 (abaumannii) in {species_result_path.name}."
-            )
-
-    if mlst_needed:
-        click.echo("Step 3/3: Running MLST classification for abaumannii...")
-        mlst_schemes = get_available_mlst_schemes()
-        if "abaumannii" in mlst_schemes and mlst_schemes["abaumannii"]:
-            scheme = mlst_schemes["abaumannii"][0]
-            mlst_output_path = output_dir / f"mlst_classification_{run_id}.json"
-            classify.classify_mlst(
-                filtered_dir, "abaumannii", scheme, mlst_output_path, False
-            )
-            click.echo(f"MLST classification completed: {mlst_output_path.name}")
-        else:
-            click.echo(
-                "Warning: No MLST schemes available for abaumannii. "
-                "Skipping MLST classification."
-            )
-    else:
+    if not triggering:
         click.echo(
             "Step 3/3: Not running MLST classification "
             "(organism is not Acinetobacter baumannii)."
         )
+    else:
+        click.echo(f"Step 3/3: Running MLST classification for {mlst_organism}...")
+        schemes = get_available_mlst_schemes().get(mlst_organism, [])
+        if not schemes:
+            click.echo(
+                f"Warning: No MLST schemes available for {mlst_organism}. "
+                "Skipping MLST classification."
+            )
+        else:
+            mlst_out = run.path("mlst_classification")
+            classify.classify_mlst(
+                run.filtered_dir, mlst_organism, schemes[0], mlst_out, False
+            )
+            click.echo(f"MLST classification completed: {mlst_out.name}")
 
     click.echo("\nPipeline completed successfully!")
-    click.echo(f"Results saved in: {output_dir}")
+    click.echo(f"Results saved in: {run.out}")
 
 
-# --------------------------------------------------------------------------
-# Model management commands
-# --------------------------------------------------------------------------
+# ------------------------------------------------------------------- models
+
+
 @cli.group()
 def models():
     """Model management commands."""
@@ -207,8 +301,7 @@ def download(url):
     click.echo("Downloading models, this may take a while...")
     from xspect2_tpu.download_models import download_test_models
 
-    statuses = download_test_models(url=url)
-    for slug, status in statuses.items():
+    for slug, status in download_test_models(url=url).items():
         click.echo(f"  {slug}: {status}")
 
 
@@ -234,23 +327,22 @@ def import_models(bundle_path, no_rebuild):
     """Import reference models with provenance-based index rebuild."""
     from xspect2_tpu.reference_import import import_reference_models
 
-    statuses = import_reference_models(bundle_path, rebuild=not no_rebuild)
-    for slug, status in statuses.items():
+    for slug, status in import_reference_models(
+        bundle_path, rebuild=not no_rebuild
+    ).items():
         click.echo(f"  {slug}: {status}")
 
 
 @models.command(name="list", help="List all models in the model directory.")
 def list_models():
     """List models."""
-    available_models = get_models()
-    if not available_models:
+    available = {t: names for t, names in get_models().items() if names}
+    if not available:
         click.echo("No models found.")
         return
     click.echo("Models found:")
     click.echo("--------------")
-    for model_type, names in available_models.items():
-        if not names:
-            continue
+    for model_type, names in available.items():
         click.echo(f"  {model_type}:")
         for name in names:
             click.echo(f"    - {name}")
@@ -264,8 +356,7 @@ def train():
 @train.command(name="ncbi", help="Train a species and a genus model based on NCBI data.")
 @click.option("-g", "--genus", "model_genus", prompt=True)
 @click.option("--svm_steps", type=int, default=1)
-@click.option("--author", help="Author of the model.", default=None)
-@click.option("--author-email", help="Email of the author.", default=None)
+@_author_options
 @click.option(
     "--min-n50",
     type=int,
@@ -307,10 +398,10 @@ def train_ncbi(
     allow_sp,
 ):
     """Train a species and a genus model based on NCBI data."""
+    from xspect2_tpu.train import train_from_ncbi
+
     click.echo(f"Training {model_genus} species and genus metagenome model.")
     try:
-        from xspect2_tpu.train import train_from_ncbi
-
         train_from_ncbi(
             model_genus,
             svm_steps,
@@ -351,13 +442,12 @@ def train_ncbi(
     help="SVM sparse sampling step size.",
     default=1,
 )
-@click.option("--author", help="Author of the model.", default=None)
-@click.option("--author-email", help="Email of the author.", default=None)
+@_author_options
 def train_directory(model_genus, input_path, svm_steps, meta, author, author_email):
     """Train a model based on data from a directory for a given genus."""
-    click.echo(f"Training {model_genus} model with {svm_steps} SVM steps.")
     from xspect2_tpu.train import train_from_directory
 
+    click.echo(f"Training {model_genus} model with {svm_steps} SVM steps.")
     train_from_directory(
         model_genus,
         Path(input_path),
@@ -373,133 +463,60 @@ def train_directory(model_genus, input_path, svm_steps, meta, author, author_ema
     "--organism", "organism", help="Underlying organism for the MLST model.", type=str
 )
 @click.option("--mlst-scheme", "scheme", help="MLST scheme to use.", type=str)
-@click.option("--author", help="Author of the model.", default=None)
-@click.option("--author-email", help="Email of the author.", default=None)
+@_author_options
 def train_mlst(organism, scheme, author, author_email):
     """Download alleles and train MLST models."""
     from xspect2_tpu.handlers.pubmlst import PubMLSTHandler
-
-    handler = PubMLSTHandler()
-    available_organisms = handler.get_available_organisms()
-    if not organism:
-        organism = click.prompt(
-            "Please enter the organism you want to train the MLST model for:",
-            type=click.Choice(available_organisms),
-        )
-    elif organism not in available_organisms:
-        raise click.BadParameter(
-            f"Organism '{organism}' not found. "
-            f"Available organisms: {', '.join(available_organisms)}"
-        )
-
-    available_schemes = handler.get_available_schemes(organism)
-    if scheme:
-        if scheme not in available_schemes:
-            raise click.BadParameter(
-                f"Scheme '{scheme}' not found for organism '{organism}'. "
-                f"Available schemes: {', '.join(available_schemes)}"
-            )
-    else:
-        scheme = click.prompt(
-            "Please enter the scheme you want to train the MLST model for:",
-            type=click.Choice(available_schemes),
-        )
-
     from xspect2_tpu.train import train_mlst as train_mlst_model
 
+    handler = PubMLSTHandler()
+    organism = _require_choice(
+        organism,
+        handler.get_available_organisms(),
+        "Organism",
+        "",
+        "Please enter the organism you want to train the MLST model for:",
+    )
+    scheme = _require_choice(
+        scheme,
+        handler.get_available_schemes(organism),
+        "Scheme",
+        f" for organism '{organism}'",
+        "Please enter the scheme you want to train the MLST model for:",
+    )
     train_mlst_model(organism, scheme, author, author_email)
 
 
-# --------------------------------------------------------------------------
-# Classification commands
-# --------------------------------------------------------------------------
+# ----------------------------------------------------------- classification
+
+
 @cli.group(name="classify", help="Classify sequences using XspecT models.")
 def classify_seqs():
     """Classification commands."""
 
 
 @classify_seqs.command(name="genus", help="Classify samples using a genus model.")
-@click.option(
-    "-g",
-    "--genus",
-    "model_genus",
-    help="Genus of the model to classify.",
-    type=click.Choice(_models_of("Genus")),
-    prompt=True,
-)
-@click.option(
-    "-i",
-    "--input-path",
-    help="Path to FASTA or FASTQ file for classification.",
-    type=click.Path(exists=True, dir_okay=True, file_okay=True),
-    prompt=True,
-    default=Path("."),
-)
-@click.option(
-    "-o",
-    "--output-path",
-    help="Path to the output file.",
-    type=click.Path(dir_okay=False, file_okay=True),
-    default=Path(".") / f"result_{uuid4()}.json",
-)
-@click.option(
-    "--sparse-sampling-step",
-    type=int,
-    help="Sparse sampling step.",
-    default=1,
-)
+@_genus_option("Genus", "Genus of the model to classify.")
+@_input_option()
+@_output_option("result", "json")
+@_step_option()
 def classify_genus(model_genus, input_path, output_path, sparse_sampling_step):
     """Classify samples using a genus model."""
-    click.echo("Classifying...")
     from xspect2_tpu import classify
 
+    click.echo("Classifying...")
     classify.classify_genus(
         model_genus, Path(input_path), Path(output_path), sparse_sampling_step
     )
 
 
 @classify_seqs.command(name="species", help="Classify samples using a species model.")
-@click.option(
-    "-g",
-    "--genus",
-    "model_genus",
-    help="Genus of the model to classify.",
-    type=click.Choice(_models_of("Species")),
-    prompt=True,
-)
-@click.option(
-    "-i",
-    "--input-path",
-    help="Path to FASTA or FASTQ file for classification.",
-    type=click.Path(exists=True, dir_okay=True, file_okay=True),
-    prompt=True,
-    default=Path("."),
-)
-@click.option(
-    "-o",
-    "--output-path",
-    help="Path to the output file.",
-    type=click.Path(dir_okay=False, file_okay=True),
-    default=Path(".") / f"result_{uuid4()}.json",
-)
-@click.option(
-    "--sparse-sampling-step",
-    type=int,
-    help="Sparse sampling step.",
-    default=1,
-)
-@click.option(
-    "-n",
-    "--display-names",
-    help="Includes the display names next to taxonomy-IDs.",
-    is_flag=True,
-)
-@click.option(
-    "-v",
-    "--validation",
-    help="Detects misclassification for small reads or contigs.",
-    is_flag=True,
-)
+@_genus_option("Species", "Genus of the model to classify.")
+@_input_option()
+@_output_option("result", "json")
+@_step_option()
+@_display_names_flag()
+@_validation_flag()
 @click.option(
     "--exclude-species",
     help="Comma-separated list of species IDs to exclude from classification.",
@@ -516,13 +533,12 @@ def classify_species(
     exclude_species,
 ):
     """Classify samples using a species model."""
-    click.echo("Classifying...")
     from xspect2_tpu import classify
 
-    exclude_ids = None
-    if exclude_species:
-        exclude_ids = [s.strip() for s in exclude_species.split(",")]
-
+    click.echo("Classifying...")
+    exclude_ids = (
+        [s.strip() for s in exclude_species.split(",")] if exclude_species else None
+    )
     classify.classify_species(
         model_genus,
         Path(input_path),
@@ -535,14 +551,7 @@ def classify_species(
 
 
 @classify_seqs.command(name="mlst", help="Classify samples using a MLST model.")
-@click.option(
-    "-i",
-    "--input-path",
-    help="Path to FASTA-file for mlst identification.",
-    type=click.Path(exists=True, dir_okay=True, file_okay=True),
-    prompt=True,
-    default=Path("."),
-)
+@_input_option()
 @click.option(
     "--organism",
     "organism",
@@ -551,76 +560,40 @@ def classify_species(
     prompt=True,
 )
 @click.option("--mlst-scheme", "mlst_scheme", help="MLST scheme to use.", type=str)
-@click.option(
-    "-o",
-    "--output-path",
-    help="Path to the output file.",
-    type=click.Path(dir_okay=False, file_okay=True),
-    default=Path(".") / f"MLST_result_{uuid4()}.json",
-)
+@_output_option("MLST_result", "json")
 @click.option(
     "-l", "--limit", is_flag=True, help="Limit the output to 5 results for each locus."
 )
 def classify_mlst(input_path, organism, mlst_scheme, output_path, limit):
     """MLST classify a sample."""
-    mlst_schemes = get_available_mlst_schemes()
-    if not mlst_scheme:
-        mlst_scheme = click.prompt(
-            "Please enter the MLST scheme you want to use:",
-            type=click.Choice(mlst_schemes[organism]),
-        )
-    elif mlst_scheme not in mlst_schemes.get(organism, []):
-        raise click.BadParameter(
-            f"Scheme '{mlst_scheme}' not found for organism '{organism}'. "
-            f"Available schemes: {', '.join(mlst_schemes.get(organism, []))}"
-        )
-
-    click.echo("Classifying...")
     from xspect2_tpu import classify
 
+    mlst_scheme = _require_choice(
+        mlst_scheme,
+        get_available_mlst_schemes().get(organism, []),
+        "Scheme",
+        f" for organism '{organism}'",
+        "Please enter the MLST scheme you want to use:",
+    )
+    click.echo("Classifying...")
     classify.classify_mlst(
         Path(input_path), organism, mlst_scheme, Path(output_path), limit
     )
 
 
-# --------------------------------------------------------------------------
-# Filtering commands
-# --------------------------------------------------------------------------
+# ---------------------------------------------------------------- filtering
+
+
 @cli.group(name="filter", help="Filter sequences using XspecT models.")
 def filter_seqs():
     """Filter commands."""
 
 
 @filter_seqs.command(name="genus", help="Filter sequences using a genus model.")
-@click.option(
-    "-g",
-    "--genus",
-    "model_genus",
-    help="Genus of the model to use for filtering.",
-    type=click.Choice(_models_of("Species")),
-    prompt=True,
-)
-@click.option(
-    "-i",
-    "--input-path",
-    help="Path to FASTA or FASTQ file for classification.",
-    type=click.Path(exists=True, dir_okay=True, file_okay=True),
-    prompt=True,
-    default=Path("."),
-)
-@click.option(
-    "-o",
-    "--output-path",
-    help="Path to the output file.",
-    type=click.Path(dir_okay=False, file_okay=True),
-    prompt=True,
-    default=Path(".") / f"genus_filtered_{uuid4()}.fasta",
-)
-@click.option(
-    "--classification-output-path",
-    help="Optional path to the classification output file.",
-    type=click.Path(dir_okay=False, file_okay=True),
-)
+@_genus_option("Species", "Genus of the model to use for filtering.")
+@_input_option()
+@_output_option("genus_filtered", "fasta", prompt=True)
+@_classification_output_option()
 @click.option(
     "-t",
     "--threshold",
@@ -629,12 +602,7 @@ def filter_seqs():
     default=0.7,
     prompt=True,
 )
-@click.option(
-    "--sparse-sampling-step",
-    type=int,
-    help="Sparse sampling step.",
-    default=1,
-)
+@_step_option()
 def filter_genus(
     model_genus,
     input_path,
@@ -644,55 +612,58 @@ def filter_genus(
     sparse_sampling_step,
 ):
     """Filter samples using a genus model."""
-    click.echo("Filtering...")
     from xspect2_tpu import filter_sequences
 
+    click.echo("Filtering...")
     filter_sequences.filter_genus(
         model_genus,
         Path(input_path),
         Path(output_path),
         threshold,
-        Path(classification_output_path) if classification_output_path else None,
+        _opt_path(classification_output_path),
         sparse_sampling_step=sparse_sampling_step,
     )
 
 
+def _resolve_species_id(model_genus: str, species_name: str | None) -> str:
+    """Map a user-facing species name to its label id, prompting if absent.
+
+    Display names are shown without the genus prefix, matched
+    case-insensitively (reference: src/xspect/main.py:738-791).
+    """
+    metadata = get_model_metadata(f"{model_genus}-species")
+    short_names = {
+        label: name.replace(f"{model_genus} ", "")
+        for label, name in metadata["display_names"].items()
+    }
+    if not species_name:
+        species_name = click.prompt(
+            f"Please enter the species name: {model_genus}",
+            type=click.Choice(sorted(short_names.values()), case_sensitive=False),
+        )
+    matches = [
+        label
+        for label, name in short_names.items()
+        if name.lower() == species_name.lower()
+    ]
+    if not matches:
+        raise click.BadParameter(
+            f"Species '{species_name}' not found in the {model_genus} species model."
+        )
+    return matches[0]
+
+
 @filter_seqs.command(name="species", help="Filter sequences using a species model.")
-@click.option(
-    "-g",
-    "--genus",
-    "model_genus",
-    help="Genus of the model to use for filtering.",
-    type=click.Choice(_models_of("Species")),
-    prompt=True,
-)
+@_genus_option("Species", "Genus of the model to use for filtering.")
 @click.option(
     "-s",
     "--species",
     "model_species",
     help="Species of the model to filter for.",
 )
-@click.option(
-    "-i",
-    "--input-path",
-    help="Path to FASTA or FASTQ file for classification.",
-    type=click.Path(exists=True, dir_okay=True, file_okay=True),
-    prompt=True,
-    default=Path("."),
-)
-@click.option(
-    "-o",
-    "--output-path",
-    help="Path to the output file.",
-    type=click.Path(dir_okay=False, file_okay=True),
-    prompt=True,
-    default=Path(".") / f"species_filtered_{uuid4()}.fasta",
-)
-@click.option(
-    "--classification-output-path",
-    help="Optional path to the classification output file.",
-    type=click.Path(dir_okay=False, file_okay=True),
-)
+@_input_option()
+@_output_option("species_filtered", "fasta", prompt=True)
+@_classification_output_option()
 @click.option(
     "-t",
     "--threshold",
@@ -702,12 +673,7 @@ def filter_genus(
     default=0.7,
     prompt=True,
 )
-@click.option(
-    "--sparse-sampling-step",
-    type=int,
-    help="Sparse sampling step.",
-    default=1,
-)
+@_step_option()
 def filter_species(
     model_genus,
     model_species,
@@ -718,44 +684,23 @@ def filter_species(
     sparse_sampling_step,
 ):
     """Filter a sample using the species model."""
-    if threshold != -1 and (threshold < 0 or threshold > 1):
+    from xspect2_tpu import filter_sequences
+
+    if threshold != -1 and not 0 <= threshold <= 1:
         raise click.BadParameter(
             "Threshold must be between 0 and 1, or -1 for filtering by the "
             "highest scoring species."
         )
-
-    available_species = get_model_metadata(f"{model_genus}-species")["display_names"]
-    available_species = {
-        id: name.replace(f"{model_genus} ", "")
-        for id, name in available_species.items()
-    }
-    if not model_species:
-        sorted_available_species = sorted(available_species.values())
-        model_species = click.prompt(
-            f"Please enter the species name: {model_genus}",
-            type=click.Choice(sorted_available_species, case_sensitive=False),
-        )
-    if model_species not in available_species.values():
-        raise click.BadParameter(
-            f"Species '{model_species}' not found in the {model_genus} species model."
-        )
-
-    model_species = [
-        id
-        for id, name in available_species.items()
-        if name.lower() == model_species.lower()
-    ][0]
+    label = _resolve_species_id(model_genus, model_species)
 
     click.echo("Filtering...")
-    from xspect2_tpu import filter_sequences
-
     filter_sequences.filter_species(
         model_genus,
-        model_species,
+        label,
         Path(input_path),
         Path(output_path),
         threshold,
-        Path(classification_output_path) if classification_output_path else None,
+        _opt_path(classification_output_path),
         sparse_sampling_step=sparse_sampling_step,
     )
 

@@ -1,20 +1,23 @@
-"""Model training: from a local directory, from NCBI, from PubMLST.
+"""Model training pipelines: local directory, NCBI, PubMLST.
 
-Mirrors the reference trainer (reference: src/xspect/train.py):
+Behavioral contract (reference: src/xspect/train.py:28-363): training
+data is laid out as ``dir/cobs/<label>/*.fasta`` plus an optional
+parallel ``dir/svm/<label>/*.fasta`` tree; species models use k=21 with
+an rbf/C=1.0 SVM head when SVM data exists; the NCBI pipeline selects up
+to 8 quality-ranked RefSeq accessions per species (first 4 feed the
+filter index, last 4 the SVM scores), downloads them in batches of 100,
+and filters out Candidatus and " sp." placeholder species; MLST models
+train per-locus indices at k=31 from PubMLST allele downloads.
 
-- ``train_from_directory`` expects ``dir/cobs/<label>/*.fasta`` (plus an
-  optional ``dir/svm/<label>/*.fasta``), concatenates genomes per label
-  and trains an SVM or plain species model (k=21, rbf, C=1.0), and
-  optionally a genus Bloom model from the concatenated metagenome.
-- ``train_from_ncbi`` resolves genus -> species taxa, fetches up to 8
-  best accessions per species (first 4 for the filter index, last 4 for
-  the SVM), downloads in batches of 100, then delegates.
-- ``train_mlst`` downloads PubMLST alleles and trains per-locus indices
-  with k=31.
+The implementation here is organized around two small value objects —
+:class:`TrainingLayout` (a validated view of the on-disk training tree)
+and :class:`SpeciesSelection` (one species' accession plan) — so each
+pipeline is a short composition: select -> stage -> fit.
 """
 
 import logging
 import shutil
+from dataclasses import dataclass
 from pathlib import Path
 from tempfile import TemporaryDirectory
 
@@ -32,6 +35,61 @@ from xspect2_tpu.models.svm_model import ProbabilisticFilterSVMModel
 
 logger = logging.getLogger("xspect2_tpu.train")
 
+SPECIES_K = 21
+MLST_K = 31
+SVM_KERNEL = "rbf"
+SVM_C = 1.0
+# NCBI accession plan: 8 best per species, first 4 -> index, last 4 -> SVM
+ACCESSIONS_PER_SPECIES = 8
+INDEX_ACCESSION_COUNT = 4
+SVM_ACCESSION_COUNT = 4
+DOWNLOAD_BATCH_SIZE = 100
+
+
+# --------------------------------------------------------------- directory
+
+
+@dataclass(frozen=True)
+class TrainingLayout:
+    """A validated view of a ``cobs/`` (+ optional ``svm/``) training tree."""
+
+    root: Path
+    labels: tuple[str, ...]
+    has_svm: bool
+
+    @property
+    def cobs_dir(self) -> Path:
+        return self.root / "cobs"
+
+    @property
+    def svm_dir(self) -> Path | None:
+        return self.root / "svm" if self.has_svm else None
+
+    @classmethod
+    def scan(cls, root: Path) -> "TrainingLayout":
+        if not isinstance(root, Path) or not root.is_dir():
+            raise TypeError("dir must be Path object to a valid directory")
+        labels = cls._subdir_names(root / "cobs", required=True)
+        svm_labels = cls._subdir_names(root / "svm", required=False)
+        if svm_labels is not None and svm_labels != labels:
+            if len(svm_labels) != len(labels):
+                raise ValueError(
+                    "number of svm folders does not match number of cobs folders"
+                )
+            raise ValueError("cobs folder and svm folder names do not match")
+        return cls(root=root, labels=labels, has_svm=svm_labels is not None)
+
+    @staticmethod
+    def _subdir_names(tree: Path, required: bool) -> tuple[str, ...] | None:
+        if not tree.exists():
+            if required:
+                raise ValueError("cobs directory not found")
+            return None
+        names = tuple(sorted(f.name for f in tree.iterdir() if f.is_dir()))
+        if required and not names:
+            raise ValueError("no folders found in cobs directory")
+        return names
+
 
 def train_from_directory(
     display_name: str,
@@ -47,53 +105,33 @@ def train_from_directory(
     """Train a species (and optionally genus) model from local training data."""
     if not isinstance(display_name, str):
         raise TypeError("display_name must be a string")
-    if not isinstance(dir_path, Path) or not dir_path.exists() or not dir_path.is_dir():
-        raise TypeError("dir must be Path object to a valid directory")
-
-    cobs_training_path = dir_path / "cobs"
-    if not cobs_training_path.exists():
-        raise ValueError("cobs directory not found")
-
-    cobs_folders = sorted(f for f in cobs_training_path.iterdir() if f.is_dir())
-    if len(cobs_folders) == 0:
-        raise ValueError("no folders found in cobs directory")
-
-    svm_path = dir_path / "svm"
-    if svm_path.exists():
-        svm_folders = sorted(f for f in svm_path.iterdir() if f.is_dir())
-        if len(svm_folders) != len(cobs_folders):
-            raise ValueError(
-                "number of svm folders does not match number of cobs folders"
-            )
-        for cobs_folder, svm_folder in zip(cobs_folders, svm_folders):
-            if cobs_folder.name != svm_folder.name:
-                raise ValueError("cobs folder and svm folder names do not match")
-    else:
+    layout = TrainingLayout.scan(dir_path)
+    if not layout.has_svm:
         print("SVM directory not found. Model will be trained without SVM.")
 
-    with TemporaryDirectory() as tmp_dir:
-        tmp_dir = Path(tmp_dir)
-        species_dir = tmp_dir / "species"
-        species_dir.mkdir(parents=True, exist_ok=True)
-
+    common = dict(
+        k=SPECIES_K,
+        model_display_name=display_name,
+        author=author,
+        author_email=author_email,
+        base_path=get_xspect_model_path(),
+    )
+    with TemporaryDirectory() as tmp:
+        staged = Path(tmp) / "species"
+        staged.mkdir(parents=True)
         logger.info("Concatenating genomes for species training...")
-        concatenate_species_fasta_files(cobs_folders, species_dir)
+        concatenate_species_fasta_files(
+            [layout.cobs_dir / label for label in layout.labels], staged
+        )
 
-        if svm_path.exists():
+        if layout.has_svm:
             logger.info("Training species SVM model...")
-            species_model = ProbabilisticFilterSVMModel(
-                k=21,
-                model_display_name=display_name,
-                author=author,
-                author_email=author_email,
-                model_type="Species",
-                base_path=get_xspect_model_path(),
-                kernel="rbf",
-                c=1.0,
+            model = ProbabilisticFilterSVMModel(
+                model_type="Species", kernel=SVM_KERNEL, c=SVM_C, **common
             )
-            species_model.fit(
-                species_dir,
-                svm_path,
+            model.fit(
+                staged,
+                layout.svm_dir,
                 display_names=translation_dict,
                 svm_step=svm_step,
                 training_accessions=training_accessions,
@@ -101,45 +139,140 @@ def train_from_directory(
             )
         else:
             logger.info("Training species model...")
-            species_model = ProbabilisticFilterModel(
-                k=21,
-                model_display_name=display_name,
-                author=author,
-                author_email=author_email,
-                model_type="Species",
-                base_path=get_xspect_model_path(),
-            )
-            species_model.fit(
-                species_dir,
+            model = ProbabilisticFilterModel(model_type="Species", **common)
+            model.fit(
+                staged,
                 display_names=translation_dict,
                 training_accessions=training_accessions,
             )
-        species_model.save()
+        model.save()
 
         if meta:
-            logger.info("Concatenating genomes for metagenome training...")
-            meta_fasta = tmp_dir / f"{display_name}.fasta"
-            concatenate_metagenome(species_dir, meta_fasta)
+            _train_genus_from_species_dir(
+                staged, display_name, common, training_accessions
+            )
 
-            logger.info("Training metagenome model...")
-            genus_model = ProbabilisticSingleFilterModel(
-                k=21,
-                model_display_name=display_name,
-                author=author,
-                author_email=author_email,
-                model_type="Genus",
-                base_path=get_xspect_model_path(),
-            )
-            genus_model.fit(
-                meta_fasta,
-                display_name,
-                training_accessions=(
-                    sum(training_accessions.values(), [])
-                    if training_accessions
-                    else None
-                ),
-            )
-            genus_model.save()
+
+def _train_genus_from_species_dir(
+    species_dir: Path,
+    display_name: str,
+    common: dict,
+    training_accessions: dict[str, list[str]] | None,
+):
+    """Build the whole-genus metagenome Bloom model from staged species FASTAs."""
+    logger.info("Concatenating genomes for metagenome training...")
+    metagenome = species_dir.parent / f"{display_name}.fasta"
+    concatenate_metagenome(species_dir, metagenome)
+
+    logger.info("Training metagenome model...")
+    flat_accessions = None
+    if training_accessions:
+        flat_accessions = [
+            acc for per_label in training_accessions.values() for acc in per_label
+        ]
+    genus_model = ProbabilisticSingleFilterModel(model_type="Genus", **common)
+    genus_model.fit(metagenome, display_name, training_accessions=flat_accessions)
+    genus_model.save()
+
+
+# --------------------------------------------------------------------- NCBI
+
+
+@dataclass(frozen=True)
+class SpeciesSelection:
+    """One species' training plan: taxon, display name, ranked accessions."""
+
+    tax_id: int
+    name: str
+    accessions: tuple[str, ...]
+
+    @property
+    def index_accessions(self) -> list[str]:
+        return list(self.accessions[:INDEX_ACCESSION_COUNT])
+
+    @property
+    def svm_accessions(self) -> list[str]:
+        return list(self.accessions[-SVM_ACCESSION_COUNT:])
+
+
+def _is_placeholder_name(name: str, allow_candidatus: bool, allow_sp: bool) -> bool:
+    """Candidatus and " sp." taxa are placeholders, excluded by default."""
+    lowered = name.lower()
+    if not allow_candidatus and "candidatus" in lowered:
+        return True
+    if not allow_sp and " sp." in lowered:
+        return True
+    return False
+
+
+def _select_species(
+    handler,
+    genus: str,
+    *,
+    min_n50: int,
+    exclude_atypical: bool,
+    allow_inconclusive: bool,
+    allow_candidatus: bool,
+    allow_sp: bool,
+) -> list[SpeciesSelection]:
+    """Resolve a genus to quality-ranked per-species accession plans."""
+    from xspect2_tpu.handlers.ncbi import AssemblySource
+
+    genus_tax_id = handler.get_genus_taxon_id(genus)
+    species_ids = handler.get_species(genus_tax_id)
+    names = handler.get_taxon_names(species_ids)
+
+    selections = []
+    for tax_id in species_ids:
+        if _is_placeholder_name(names[tax_id], allow_candidatus, allow_sp):
+            continue
+        ranked = handler.get_highest_quality_accessions(
+            tax_id,
+            AssemblySource.REFSEQ,
+            ACCESSIONS_PER_SPECIES,
+            min_n50,
+            exclude_atypical,
+            allow_inconclusive,
+        )
+        if not ranked:
+            logger.warning("No assemblies found for tax_id %s. Skipping.", tax_id)
+            continue
+        selections.append(
+            SpeciesSelection(tax_id, names[tax_id], tuple(ranked))
+        )
+    return selections
+
+
+def _download_assembly_files(handler, accessions: list[str], work_dir: Path):
+    """Batched zip download + extraction; returns {accession: fasta path}."""
+    paths: dict[str, Path] = {}
+    for start in range(0, len(accessions), DOWNLOAD_BATCH_SIZE):
+        batch = accessions[start : start + DOWNLOAD_BATCH_SIZE]
+        handler.download_assemblies(accessions=batch, output_dir=work_dir)
+        extracted = work_dir / f"batch-{start}-{start + DOWNLOAD_BATCH_SIZE}"
+        extract_zip(work_dir / "ncbi_dataset.zip", extracted)
+        paths.update(get_ncbi_dataset_accession_paths(extracted))
+    return paths
+
+
+def _stage_training_tree(
+    selections: list[SpeciesSelection],
+    assembly_paths: dict[str, Path],
+    work_dir: Path,
+) -> None:
+    """Materialize the cobs/ and svm/ trees train_from_directory expects."""
+    plan = [
+        ("cobs", lambda s: s.index_accessions),
+        ("svm", lambda s: s.svm_accessions),
+    ]
+    for tree_name, pick in plan:
+        for sel in selections:
+            label_dir = work_dir / tree_name / str(sel.tax_id)
+            label_dir.mkdir(parents=True, exist_ok=True)
+            for accession in pick(sel):
+                shutil.copy(
+                    assembly_paths[accession], label_dir / f"{accession}.fasta"
+                )
 
 
 def train_from_ncbi(
@@ -155,44 +288,23 @@ def train_from_ncbi(
     allow_sp: bool = False,
 ):
     """Train species + genus models from NCBI assembly data for a genus."""
-    from xspect2_tpu.handlers.ncbi import AssemblySource, NCBIHandler
+    from xspect2_tpu.handlers.ncbi import NCBIHandler
 
     if not isinstance(genus, str):
         raise TypeError("genus must be a string")
 
     logger.info("Getting NCBI metadata...")
-    ncbi_handler = NCBIHandler(api_key=ncbi_api_key)
-    genus_tax_id = ncbi_handler.get_genus_taxon_id(genus)
-    species_ids = ncbi_handler.get_species(genus_tax_id)
-    species_names = ncbi_handler.get_taxon_names(species_ids)
-
-    filtered_species_ids = [
-        tax_id
-        for tax_id in species_ids
-        if (allow_candidatus or "candidatus" not in species_names[tax_id].lower())
-        and (allow_sp or " sp." not in species_names[tax_id].lower())
-    ]
-    filtered_species_names = {
-        str(tax_id): species_names[tax_id] for tax_id in filtered_species_ids
-    }
-
-    accessions = {}
-    for tax_id in filtered_species_ids:
-        taxon_accessions = ncbi_handler.get_highest_quality_accessions(
-            tax_id,
-            AssemblySource.REFSEQ,
-            8,
-            min_n50,
-            exclude_atypical,
-            allow_inconclusive,
-        )
-        if not taxon_accessions:
-            logger.warning("No assemblies found for tax_id %s. Skipping.", tax_id)
-            filtered_species_names.pop(str(tax_id), None)
-            continue
-        accessions[tax_id] = taxon_accessions
-
-    if not accessions:
+    handler = NCBIHandler(api_key=ncbi_api_key)
+    selections = _select_species(
+        handler,
+        genus,
+        min_n50=min_n50,
+        exclude_atypical=exclude_atypical,
+        allow_inconclusive=allow_inconclusive,
+        allow_candidatus=allow_candidatus,
+        allow_sp=allow_sp,
+    )
+    if not selections:
         raise ValueError(
             "No species with accessions found. "
             "Please check if the genus name is correct or if there are any data "
@@ -200,56 +312,29 @@ def train_from_ncbi(
             "assemblies, low N50 values)."
         )
 
-    with TemporaryDirectory() as tmp_dir:
-        tmp_dir = Path(tmp_dir)
-        cobs_dir = tmp_dir / "cobs"
-        svm_dir = tmp_dir / "svm"
-        cobs_dir.mkdir(parents=True, exist_ok=True)
-        svm_dir.mkdir(parents=True, exist_ok=True)
-
+    with TemporaryDirectory() as tmp:
+        work_dir = Path(tmp)
         logger.info("Downloading genomes from NCBI...")
-        all_accessions = sum(accessions.values(), [])
-        batch_size = 100
-        accession_paths = {}
-        for i in range(0, len(all_accessions), batch_size):
-            batch = all_accessions[i : i + batch_size]
-            ncbi_handler.download_assemblies(accessions=batch, output_dir=tmp_dir)
-            extract_zip(
-                tmp_dir / "ncbi_dataset.zip", tmp_dir / f"batch-{i}-{i + batch_size}"
-            )
-            accession_paths.update(
-                get_ncbi_dataset_accession_paths(
-                    tmp_dir / f"batch-{i}-{i + batch_size}"
-                )
-            )
-
-        cobs_accessions = {}
-        svm_accessions = {}
-        for tax_id, accession_list in accessions.items():
-            cobs_accessions[tax_id] = accession_list[:4]
-            svm_accessions[tax_id] = accession_list[-4:]
-
-        for target_dir, split in ((cobs_dir, cobs_accessions), (svm_dir, svm_accessions)):
-            for tax_id, accession_list in split.items():
-                tax_id_dir = target_dir / str(tax_id)
-                tax_id_dir.mkdir(parents=True, exist_ok=True)
-                for accession in accession_list:
-                    shutil.copy(
-                        accession_paths[accession],
-                        tax_id_dir / f"{accession}.fasta",
-                    )
+        wanted = [acc for sel in selections for acc in sel.accessions]
+        assembly_paths = _download_assembly_files(handler, wanted, work_dir)
+        _stage_training_tree(selections, assembly_paths, work_dir)
 
         train_from_directory(
             display_name=genus,
-            dir_path=tmp_dir,
+            dir_path=work_dir,
             meta=True,
-            training_accessions=cobs_accessions,
-            svm_accessions=svm_accessions,
+            training_accessions={
+                str(s.tax_id): s.index_accessions for s in selections
+            },
+            svm_accessions={str(s.tax_id): s.svm_accessions for s in selections},
             svm_step=svm_step,
-            translation_dict=filtered_species_names,
+            translation_dict={str(s.tax_id): s.name for s in selections},
             author=author,
             author_email=author_email,
         )
+
+
+# -------------------------------------------------------------------- MLST
 
 
 def train_mlst(
@@ -261,22 +346,21 @@ def train_mlst(
     """Train an MLST model for the given organism and PubMLST scheme."""
     from xspect2_tpu.handlers.pubmlst import PubMLSTHandler
 
-    with TemporaryDirectory() as tmp_dir:
-        allele_path = Path(tmp_dir)
+    handler = PubMLSTHandler()
+    with TemporaryDirectory() as tmp:
+        allele_dir = Path(tmp)
         print(f"Downloading alleles for {organism} - {scheme}")
-        handler = PubMLSTHandler()
-        handler.download_alleles(organism, scheme, allele_path)
-        scheme_url = handler.get_scheme_url(organism, scheme)
+        handler.download_alleles(organism, scheme, allele_dir)
 
         print("Training MLST model...")
         model = ProbabilisticFilterMlstSchemeModel(
-            31,
+            MLST_K,
             scheme,
             get_xspect_model_path(),
-            scheme_url,
+            handler.get_scheme_url(organism, scheme),
             organism,
             author=author,
             author_email=author_email,
         )
-        model.fit(allele_path)
+        model.fit(allele_dir)
         model.save()
