@@ -98,14 +98,21 @@ def pick_num_hashes(
     optimum (h=7 for fpr=0.01) and grows as h shrinks, while the device
     query body runs ``h`` row-select compares plus ``min(h, P)``
     AND-reduce passes over the gathered block.  Constants are measured
-    on v5e (tools/microbench_fields.py): ~0.42 ns/k-mer per body pass,
-    ~3.4 ns/k-mer gather below the fast-table budget, ~11.5 ns at
-    200 MB growing ~(size)^1.3 beyond.  The budget default comes from a
-    direct scan of the gather-rate cliff: ~210-220 M rows/s up to
-    110 MB, ~79 M from 120 MB (sharp edge between 110 and 120 MB,
-    docs/performance.md), so 108 MB keeps a small safety margin.  E.g.
-    the 8-class headline config picks h=2 (99 MB, 1.63 M reads/s) over
-    h=3 (65 MB, 1.41 M) and h=7 (50 MB, 0.97 M).
+    on v5e (tools/microbench_fields.py, tools/microbench_sorted_gather.py):
+    ~0.42 ns/k-mer per body pass; ~3.4 ns/k-mer gather below the
+    fast-table budget; a FLAT ~12.3 ns (81 M rows/s) beyond it — the
+    slow regime is a hard mode switch, not size-graded (200/400/800 MB
+    all measure 80-83 M rows/s, and index order does not matter).  The
+    budget default comes from a direct scan of the gather-rate cliff:
+    ~210-220 M rows/s up to 110 MB, ~79 M from 120 MB (sharp edge
+    between 110 and 120 MB, docs/performance.md), so 108 MB keeps a
+    small safety margin.  E.g. the 8-class headline config picks h=2
+    (99 MB, 1.63 M reads/s) over h=3 (65 MB, 1.41 M) and h=7 (50 MB,
+    0.97 M).  When EVERY candidate exceeds the budget the measured rate
+    is h-independent (520-539 k reads/s at h in {2,3,4,7} on the
+    40-class geometry — the body hides behind the gather stream), so
+    the picker takes the smallest table (the classic optimum, h=7):
+    same speed, least HBM, and the finest block-sharding granularity.
     """
     if budget_bytes is None:
         budget_bytes = int(os.environ.get("XSPECT_FAST_TABLE_BYTES", 108_000_000))
@@ -116,20 +123,19 @@ def pick_num_hashes(
         )
     P = fields_per_word
     rpb = default_rows_per_block(class_words, target_block_bytes)
-    best_h, best_cost = 7, None
+    best = None  # (cost, nbytes, h): bytes break cost ties
     for h in (2, 3, 4, 5, 7):
         bits = int(math.ceil(cobs_signature_bits(num_kmers, fpr, h) * size_factor))
         num_blocks = max(16, -(-bits // (rpb * P)))
         nbytes = num_blocks * rpb * class_words * 4
-        passes = h + min(h, P)
         if nbytes <= budget_bytes:
-            gather = 3.4
+            passes = h + min(h, P)
+            cost = 0.42 * passes + 3.4
         else:
-            gather = 11.5 * (nbytes / 200e6) ** 1.3
-        cost = 0.42 * passes + gather
-        if best_cost is None or cost < best_cost:
-            best_h, best_cost = h, cost
-    return best_h
+            cost = 12.3  # flat slow regime: h-independent, prefer small
+        if best is None or (cost, nbytes) < (best[0], best[1]):
+            best = (cost, nbytes, h)
+    return best[2]
 
 
 class BlockedBitSlicedIndex:

@@ -319,6 +319,8 @@ def _gather_and_probe(
     rows_per_block: int,
     class_words: int,
     fields_per_word: int,
+    local_blocks: int | None = None,
+    block_offset=None,
 ):
     """Gather each k-mer's block and AND its probe rows: [n, cw] uint32.
 
@@ -332,6 +334,13 @@ def _gather_and_probe(
     cheap per-k-mer variable rotate before the cross-slot AND; with
     P == 1 this is a single AND-reduce pass — measured 2-4x faster than
     per-hash compare+select+sum passes (docs/performance.md).
+
+    Block-sharded mode (``local_blocks``/``block_offset`` set): the
+    table holds only the ``local_blocks`` logical blocks starting at
+    ``block_offset`` (a traced per-shard scalar).  K-mers owned by other
+    shards gather a clamped in-range block and their AND word is forced
+    to 0, so a ``psum`` over the block axis reassembles exact hit
+    counts (xspect2_tpu.parallel.block_sharded).
     """
     n = hi.shape[0]
     P = fields_per_word
@@ -341,6 +350,11 @@ def _gather_and_probe(
 
     a, b, c = hashing.kmer_hash_words(hi, lo, xp=jnp)
     block = a % jnp.uint32(num_blocks)
+    owned = None
+    if local_blocks is not None:
+        local = block.astype(jnp.int32) - block_offset.astype(jnp.int32)
+        owned = (local >= 0) & (local < local_blocks)
+        block = jnp.clip(local, 0, local_blocks - 1)
     blk = jnp.take(table2d, block.astype(jnp.int32), axis=0)
     b3 = blk.reshape(n, class_words, rows_per_block)
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (n, rows_per_block), 1)
@@ -365,6 +379,8 @@ def _gather_and_probe(
         out = and_s if out is None else out & and_s
     if P > 1:
         out = out & jnp.uint32((1 << fb) - 1)
+    if owned is not None:
+        out = jnp.where(owned[:, None], out, jnp.uint32(0))
     return out
 
 
@@ -442,6 +458,7 @@ def make_query_body(
     num_chunks: int,
     max_records: int,
     fields_per_word: int = 1,
+    local_blocks: int | None = None,
 ):
     """Build the pure traceable query function for the given static geometry.
 
@@ -450,11 +467,14 @@ def make_query_body(
     the single-device jit above and by the sharded SPMD path
     (:mod:`xspect2_tpu.parallel`) inside ``shard_map``.  ``table2d`` is the
     class-word-major device layout (:meth:`BlockedBitSlicedIndex.device_table`).
+    With ``local_blocks`` set the body takes an extra traced
+    ``block_offset`` and returns this block shard's partial counts (see
+    :func:`_gather_and_probe`).
     """
     lo_bases = min(k, 16)
     hi_bases = k - lo_bases
 
-    def query_body(table2d, codes, rec_ids, valid, num_blocks):
+    def query_body(table2d, codes, rec_ids, valid, num_blocks, block_offset=None):
         def body(acc, i):
             start = i * chunk
             cchunk = lax.dynamic_slice(codes, (start,), (chunk + k - 1,)).astype(
@@ -502,6 +522,8 @@ def make_query_body(
                 rows_per_block=rows_per_block,
                 class_words=class_words,
                 fields_per_word=fields_per_word,
+                local_blocks=local_blocks,
+                block_offset=block_offset,
             )
 
             # invalid/padded positions contribute 0 to every class: zero
@@ -536,6 +558,7 @@ def make_reads_query_body(
     step: int = 1,
     reads_per_chunk: int = 4096,
     fields_per_word: int = 1,
+    local_blocks: int | None = None,
 ):
     """Traceable uniform-read query: uint8 codes [N, L] -> int32 [N, C].
 
@@ -566,7 +589,7 @@ def make_reads_query_body(
     else:
         lane_bits = 32
 
-    def body(table2d, reads, num_blocks):
+    def body(table2d, reads, num_blocks, block_offset=None):
         n = reads.shape[0]
         num_chunks = n // reads_per_chunk
         step_mask = jnp.asarray(step_mask_np)
@@ -615,6 +638,8 @@ def make_reads_query_body(
                 rows_per_block=rows_per_block,
                 class_words=class_words,
                 fields_per_word=fields_per_word,
+                local_blocks=local_blocks,
+                block_offset=block_offset,
             )
 
             # invalid windows / skipped sparse-sampling phases contribute
