@@ -213,9 +213,25 @@ def main():
         "core_pinned": have_taskset,
     }
     if not args.skip_spmd_overhead:
-        r8 = _run(1, args.reads, devices_per_proc=8, pin=have_taskset)
-        # same pinned core, 8-way partitioned program: ideal ratio 1.0
-        out["spmd_8dev_overhead_ratio"] = round(r8 / r1, 3)
+        # SPMD partition overhead: the 8-way-partitioned program vs the
+        # single-device program for the same total work on the same
+        # WHOLE host (ideal ratio 1.0).  Both sides run unpinned: the 8
+        # virtual device programs execute through the host's runtime
+        # thread pool, and pinning them all to one core would serialize
+        # 8 per-program dispatch overheads — a topology no real
+        # multi-chip deployment has (each chip owns its runtime).  The
+        # round-2 artifact measured exactly that pinned serialization
+        # (0.44) and mistook it for collective overhead.
+        # enough reads that per-device fixed dispatch costs amortize
+        # (at 32k total each of 8 shards gets a toy 4k-read program and
+        # the measurement reflects dispatch, not partition overhead)
+        n_spmd = max(args.reads, 131072)
+        r1u = max(_run(1, n_spmd, pin=False) for _ in range(3))
+        r8u = max(
+            _run(1, n_spmd, devices_per_proc=8, pin=False)
+            for _ in range(3)
+        )
+        out["spmd_8dev_overhead_ratio"] = round(r8u / r1u, 3)
     print(json.dumps(out))
 
 
