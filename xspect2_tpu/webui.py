@@ -12,7 +12,12 @@ REST API:
 - a model list with per-model detail panels (the reference's
   /models/:slug page): formatted metadata, editable author fields
   (POST /api/model-metadata) and per-filter display-name editing
-  (POST /api/model-display-name).
+  (POST /api/model-display-name),
+- deep-linkable hash routes mirroring the reference SPA's router
+  (App.tsx:14-27): ``#/classify``, ``#/filter``, ``#/models``,
+  ``#/models/<slug>``, ``#/result/<uuid>``, ``#/filter-result/<uuid>``
+  — a submitted job updates the URL, so results survive a page reload
+  and can be shared.
 """
 
 INDEX_HTML = """<!doctype html>
@@ -88,11 +93,46 @@ const api = (p) => fetch(p).then(r => r.json());
 const esc = (s) => String(s).replace(/[&<>"']/g, c =>
   ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
 
+// hash router (the reference SPA's routes, App.tsx:14-27):
+// #/classify #/filter #/models #/models/<slug> #/result/<uuid>
+// #/filter-result/<uuid> — deep-linkable, survives reload
+function showView(v) {
+  document.querySelectorAll('nav button').forEach(x =>
+    x.classList.toggle('active', x.dataset.v === v));
+  document.querySelectorAll('.view').forEach(x =>
+    x.classList.toggle('active', x.id === v));
+}
 document.querySelectorAll('nav button').forEach(b => b.onclick = () => {
-  document.querySelectorAll('nav button').forEach(x => x.classList.remove('active'));
-  document.querySelectorAll('.view').forEach(x => x.classList.remove('active'));
-  b.classList.add('active'); $(b.dataset.v).classList.add('active');
+  location.hash = '#/' + b.dataset.v;
 });
+
+async function route() {
+  const parts = location.hash.replace(/^#\\/?/, '').split('/');
+  const page = parts[0] || 'classify';
+  if (page === 'result' && parts[1]) {
+    showView('classify');
+    pollClassifyResult(parts[1]);
+  } else if (page === 'filter-result' && parts[1]) {
+    showView('filter');
+    pollFilterResult(parts[1]);
+  } else if (page === 'models' && parts[1]) {
+    showView('models');
+    await MODELS_READY;
+    const card = $('card-' + parts[1]);
+    if (card) {
+      if (!card.classList.contains('open')) {
+        card.classList.add('open');
+        await renderDetail(parts[1]);
+      }
+      card.scrollIntoView();
+    }
+  } else if (['classify', 'filter', 'models'].includes(page)) {
+    showView(page);
+  } else {
+    showView('classify');
+  }
+}
+window.addEventListener('hashchange', route);
 
 let MODELS = {};
 const slugOf = (n, type) =>
@@ -109,7 +149,7 @@ async function loadModels() {
       const slug = slugOf(n, type);
       html += `<div class="card" id="card-${slug}"><b>${esc(n)}</b>
         <span class="muted">(${esc(type)})</span>
-        <a class="slug" data-act="detail" data-slug="${slug}">details</a>
+        <a class="slug" href="#/models/${slug}">details</a>
         <div class="detail" id="detail-${slug}">loading…</div></div>`;
     }
   }
@@ -118,19 +158,13 @@ async function loadModels() {
 $('cType').onchange = () => {
   $('cModel').innerHTML = (MODELS[$('cType').value] || []).map(m => `<option>${esc(m)}</option>`).join('');
 };
-loadModels();
+const MODELS_READY = loadModels();
+MODELS_READY.then(route);
 
 // ------------------------------------------------------------ model detail
 // the reference's /models/:slug page: formatted metadata + editing
 const META_FIELDS = ['model_slug','model_class','model_type','k','fpr',
                      'num_hashes','kernel','C','organism','loci'];
-
-async function toggleDetail(slug) {
-  const card = $('card-' + slug);
-  card.classList.toggle('open');
-  if (!card.classList.contains('open')) return;
-  await renderDetail(slug);
-}
 
 async function renderDetail(slug) {
   const d = await api('/api/model-metadata?model_slug=' + slug);
@@ -181,8 +215,7 @@ async function saveDisplayName(slug, fid, btn) {
 document.addEventListener('click', (e) => {
   const b = e.target.closest('[data-act]');
   if (!b) return;
-  if (b.dataset.act === 'detail') toggleDetail(b.dataset.slug);
-  else if (b.dataset.act === 'save-author') saveAuthor(b.dataset.slug, b);
+  if (b.dataset.act === 'save-author') saveAuthor(b.dataset.slug, b);
   else if (b.dataset.act === 'rename') saveDisplayName(b.dataset.slug, b.dataset.fid, b);
 });
 
@@ -213,36 +246,51 @@ function recordChart() {
   $('recChart').innerHTML = scoreBars(LAST_RESULT.scores[rec] || {});
 }
 
+// polling loops are keyed by uuid so the hashchange fired by our own
+// submit doesn't start a second loop for the same job
+const ACTIVE_POLLS = new Set();
+
 async function runClassify() {
   const fname = await upload($('cFile'), $('cStatus')); if (!fname) return;
   $('cStatus').textContent = 'Classifying…';
   const q = `classification_type=${$('cType').value}&model=${encodeURIComponent($('cModel').value)}` +
             `&file=${encodeURIComponent(fname)}&step=${$('cStep').value}`;
   const { uuid } = await fetch('/api/classify?' + q, { method: 'POST' }).then(r => r.json());
-  for (let i = 0; i < 120; i++) {
-    await new Promise(res => setTimeout(res, 1000));
-    const r = await fetch('/api/classification-result?uuid=' + uuid);
-    if (r.status === 200) {
-      const d = await r.json();
-      LAST_RESULT = d;
-      const records = Object.keys(d.scores).filter(k => k !== 'total');
-      $('cStatus').textContent = 'Done.';
-      $('cResult').innerHTML = `<div class="card">
-        ${d.prediction !== undefined ? `<b>Prediction: ${esc(d.prediction)}</b>` : ''}
-        <div class="muted">${esc(d.input_source || '')} · model ${esc(d.model_slug)}</div>
-        <h3 style="font-size:.9em">Total scores</h3>${scoreBars(d.scores.total)}
-        <h3 style="font-size:.9em">Per-record scores
-          <select id="recSel" style="max-width:14em" onchange="recordChart()">
-            ${records.map(r => `<option>${esc(r)}</option>`).join('')}
-          </select></h3>
-        <div id="recChart"></div>
-        <details><summary class="muted">raw result</summary><pre>${esc(JSON.stringify(d, null, 1))}</pre></details>
-      </div>`;
-      if (records.length) recordChart();
-      return;
+  location.hash = '#/result/' + uuid;  // deep link; route() starts the poll
+}
+
+async function pollClassifyResult(uuid) {
+  if (ACTIVE_POLLS.has(uuid)) return;
+  ACTIVE_POLLS.add(uuid);
+  try {
+    $('cStatus').textContent = 'Waiting for result ' + uuid + '…';
+    for (let i = 0; i < 120; i++) {
+      const r = await fetch('/api/classification-result?uuid=' + encodeURIComponent(uuid));
+      if (r.status === 200) {
+        const d = await r.json();
+        LAST_RESULT = d;
+        const records = Object.keys(d.scores).filter(k => k !== 'total');
+        $('cStatus').textContent = 'Done.';
+        $('cResult').innerHTML = `<div class="card">
+          ${d.prediction !== undefined ? `<b>Prediction: ${esc(d.prediction)}</b>` : ''}
+          <div class="muted">${esc(d.input_source || '')} · model ${esc(d.model_slug)}</div>
+          <h3 style="font-size:.9em">Total scores</h3>${scoreBars(d.scores.total)}
+          <h3 style="font-size:.9em">Per-record scores
+            <select id="recSel" style="max-width:14em" onchange="recordChart()">
+              ${records.map(r => `<option>${esc(r)}</option>`).join('')}
+            </select></h3>
+          <div id="recChart"></div>
+          <details><summary class="muted">raw result</summary><pre>${esc(JSON.stringify(d, null, 1))}</pre></details>
+        </div>`;
+        if (records.length) recordChart();
+        return;
+      }
+      await new Promise(res => setTimeout(res, 1000));
     }
+    $('cStatus').textContent = 'Timed out waiting for result.';
+  } finally {
+    ACTIVE_POLLS.delete(uuid);
   }
-  $('cStatus').textContent = 'Timed out waiting for result.';
 }
 
 async function runFilter() {
@@ -252,20 +300,31 @@ async function runFilter() {
           `&input_file=${encodeURIComponent(fname)}&threshold=${$('fThr').value}`;
   if ($('fType').value === 'Species') q += `&filter_species=${encodeURIComponent($('fSpecies').value)}`;
   const { uuid } = await fetch('/api/filter?' + q, { method: 'POST' }).then(r => r.json());
-  for (let i = 0; i < 120; i++) {
-    await new Promise(res => setTimeout(res, 1000));
-    const r = await fetch('/api/filtering-result?uuid=' + uuid);
-    if (r.status === 200) {
-      const d = await r.json();
-      $('fStatus').textContent = d.message;
-      if ((d.message || '').includes('successfully')) {
-        $('fResult').innerHTML =
-          `<div class="card"><a href="/api/download-filtered?uuid=${uuid}">Download filtered FASTA</a></div>`;
+  location.hash = '#/filter-result/' + uuid;  // deep link; route() polls
+}
+
+async function pollFilterResult(uuid) {
+  if (ACTIVE_POLLS.has(uuid)) return;
+  ACTIVE_POLLS.add(uuid);
+  try {
+    $('fStatus').textContent = 'Waiting for result ' + uuid + '…';
+    for (let i = 0; i < 120; i++) {
+      const r = await fetch('/api/filtering-result?uuid=' + encodeURIComponent(uuid));
+      if (r.status === 200) {
+        const d = await r.json();
+        $('fStatus').textContent = d.message;
+        if ((d.message || '').includes('successfully')) {
+          $('fResult').innerHTML =
+            `<div class="card"><a href="/api/download-filtered?uuid=${encodeURIComponent(uuid)}">Download filtered FASTA</a></div>`;
+        }
+        return;
       }
-      return;
+      await new Promise(res => setTimeout(res, 1000));
     }
+    $('fStatus').textContent = 'Timed out waiting for result.';
+  } finally {
+    ACTIVE_POLLS.delete(uuid);
   }
-  $('fStatus').textContent = 'Timed out waiting for result.';
 }
 </script></body></html>
 """
