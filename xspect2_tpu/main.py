@@ -109,6 +109,52 @@ def _validation_flag():
     )
 
 
+def _threshold_option(help_text: str, bounded: bool = True, prompt: bool = False):
+    """-t/--threshold: FloatRange for 0..1 semantics, plain float when -1
+    (argmax filtering) is also legal."""
+    return click.option(
+        "-t",
+        "--threshold",
+        type=click.FloatRange(0, 1) if bounded else float,
+        help=help_text,
+        default=0.7,
+        prompt=prompt,
+    )
+
+
+_NCBI_QUALITY_OPTIONS = {
+    "--min-n50": dict(
+        type=int,
+        default=10000,
+        help="Minimum contig N50 to filter the accessions (default: 10000).",
+    ),
+    "--include-atypical/--exclude-atypical": dict(
+        default=False,
+        help="Include or exclude atypical accessions (default: exclude).",
+    ),
+    "--allow-inconclusive": dict(
+        is_flag=True,
+        default=False,
+        help="Allow accessions with inconclusive taxonomy check status.",
+    ),
+    "--allow-candidatus": dict(
+        is_flag=True, default=False, help="Allow Candidatus species for training."
+    ),
+    "--allow-sp": dict(
+        is_flag=True,
+        default=False,
+        help="Allow species with 'sp.' in their names for training.",
+    ),
+}
+
+
+def _ncbi_quality_options(fn):
+    """The NCBI training pipeline's assembly-quality filter options."""
+    for decl, kw in reversed(_NCBI_QUALITY_OPTIONS.items()):
+        fn = click.option(decl, **kw)(fn)
+    return fn
+
+
 def _require_choice(value, choices, what, context, prompt_text):
     """Return a validated choice, prompting when no value was given."""
     if value is None:
@@ -199,24 +245,13 @@ class _PipelineRun:
     type=click.Path(dir_okay=True, file_okay=False),
     default=None,
 )
-@click.option(
-    "-t",
-    "--threshold",
-    type=click.FloatRange(0, 1),
-    help="Threshold for genus filtering (default: 0.7).",
-    default=0.7,
-)
+@_threshold_option("Threshold for genus filtering (default: 0.7).")
 @_step_option()
 @_display_names_flag()
 @_validation_flag()
 def all_pipeline(
-    model_genus,
-    input_path,
-    output_dir,
-    threshold,
-    sparse_sampling_step,
-    display_names,
-    validation,
+    model_genus, input_path, output_dir, threshold,
+    sparse_sampling_step, display_names, validation,
 ):
     """Run the full genus -> species -> (conditional) MLST pipeline."""
     from xspect2_tpu import classify, filter_sequences
@@ -248,10 +283,9 @@ def all_pipeline(
         model_genus,
         run.filtered_dir,
         run.path("species_classification"),
-        sparse_sampling_step,
-        display_names,
-        validation,
-        None,
+        step=sparse_sampling_step,
+        display_name=display_names,
+        validation=validation,
     )
 
     triggering = [
@@ -357,45 +391,10 @@ def train():
 @click.option("-g", "--genus", "model_genus", prompt=True)
 @click.option("--svm_steps", type=int, default=1)
 @_author_options
-@click.option(
-    "--min-n50",
-    type=int,
-    help="Minimum contig N50 to filter the accessions (default: 10000).",
-    default=10000,
-)
-@click.option(
-    "--include-atypical/--exclude-atypical",
-    help="Include or exclude atypical accessions (default: exclude).",
-    default=False,
-)
-@click.option(
-    "--allow-inconclusive",
-    is_flag=True,
-    help="Allow accessions with inconclusive taxonomy check status.",
-    default=False,
-)
-@click.option(
-    "--allow-candidatus",
-    is_flag=True,
-    help="Allow Candidatus species for training.",
-    default=False,
-)
-@click.option(
-    "--allow-sp",
-    is_flag=True,
-    help="Allow species with 'sp.' in their names for training.",
-    default=False,
-)
+@_ncbi_quality_options
 def train_ncbi(
-    model_genus,
-    svm_steps,
-    author,
-    author_email,
-    min_n50,
-    include_atypical,
-    allow_inconclusive,
-    allow_candidatus,
-    allow_sp,
+    model_genus, svm_steps, author, author_email,
+    min_n50, include_atypical, allow_inconclusive, allow_candidatus, allow_sp,
 ):
     """Train a species and a genus model based on NCBI data."""
     from xspect2_tpu.train import train_from_ncbi
@@ -524,13 +523,8 @@ def classify_genus(model_genus, input_path, output_path, sparse_sampling_step):
     default=None,
 )
 def classify_species(
-    model_genus,
-    input_path,
-    output_path,
-    sparse_sampling_step,
-    display_names,
-    validation,
-    exclude_species,
+    model_genus, input_path, output_path,
+    sparse_sampling_step, display_names, validation, exclude_species,
 ):
     """Classify samples using a species model."""
     from xspect2_tpu import classify
@@ -543,10 +537,10 @@ def classify_species(
         model_genus,
         Path(input_path),
         Path(output_path),
-        sparse_sampling_step,
-        display_names,
-        validation,
-        exclude_ids,
+        step=sparse_sampling_step,
+        display_name=display_names,
+        validation=validation,
+        exclude_ids=exclude_ids,
     )
 
 
@@ -594,22 +588,11 @@ def filter_seqs():
 @_input_option()
 @_output_option("genus_filtered", "fasta", prompt=True)
 @_classification_output_option()
-@click.option(
-    "-t",
-    "--threshold",
-    type=click.FloatRange(0, 1),
-    help="Threshold for filtering (default: 0.7).",
-    default=0.7,
-    prompt=True,
-)
+@_threshold_option("Threshold for filtering (default: 0.7).", prompt=True)
 @_step_option()
 def filter_genus(
-    model_genus,
-    input_path,
-    output_path,
-    classification_output_path,
-    threshold,
-    sparse_sampling_step,
+    model_genus, input_path, output_path,
+    classification_output_path, threshold, sparse_sampling_step,
 ):
     """Filter samples using a genus model."""
     from xspect2_tpu import filter_sequences
@@ -664,24 +647,16 @@ def _resolve_species_id(model_genus: str, species_name: str | None) -> str:
 @_input_option()
 @_output_option("species_filtered", "fasta", prompt=True)
 @_classification_output_option()
-@click.option(
-    "-t",
-    "--threshold",
-    type=float,
-    help="Threshold for filtering (default: 0.7). Use -1 to filter for the "
+@_threshold_option(
+    "Threshold for filtering (default: 0.7). Use -1 to filter for the "
     "highest scoring species.",
-    default=0.7,
+    bounded=False,
     prompt=True,
 )
 @_step_option()
 def filter_species(
-    model_genus,
-    model_species,
-    input_path,
-    output_path,
-    threshold,
-    classification_output_path,
-    sparse_sampling_step,
+    model_genus, model_species, input_path, output_path,
+    threshold, classification_output_path, sparse_sampling_step,
 ):
     """Filter a sample using the species model."""
     from xspect2_tpu import filter_sequences
