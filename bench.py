@@ -27,7 +27,9 @@ Usage: python bench.py [--quick] [--classes N] [--genome-mb M]
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -49,20 +51,23 @@ def build_or_load_index(
     genome_mb: float,
     seed: int = 42,
     reference_geometry: bool = False,
+    ref_hashes: int = 7,
 ):
     """Synthetic multi-species index + genomes (disk-cached).
 
     ``reference_geometry=True`` builds the COBS-like design point the
-    reference engine would use for this workload (7 hashes, classic
-    one-word-per-32-classes layout, no field packing): the CPU baseline
-    is measured against THAT index, so framework layout improvements
-    speed up the framework's number, not the baseline's.
+    reference engine would use for this workload (``ref_hashes`` hash
+    probes — 7 for COBS classic at fpr=0.01, 1 for the genus Bloom
+    filter per src/xspect/models/probabilistic_single_filter_model.py:58
+    — classic one-word-per-32-classes layout, no field packing): the
+    CPU baseline is measured against THAT index, so framework layout
+    improvements speed up the framework's number, not the baseline's.
     """
     from xspect2_tpu.core import dna
     from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
 
     if reference_geometry:
-        geo = "ref"
+        geo = "ref" if ref_hashes == 7 else f"refh{ref_hashes}"
     else:
         from xspect2_tpu.core.blocked_index import pick_num_hashes
 
@@ -95,7 +100,7 @@ def build_or_load_index(
         genome_len - K + 1,
         fpr=0.01,
         # auto: speed-optimal probe count at equal fpr
-        num_hashes=7 if reference_geometry else None,
+        num_hashes=ref_hashes if reference_geometry else None,
         fields_per_word=1 if reference_geometry else None,
     )
     log(
@@ -135,7 +140,7 @@ def simulate_reads(genomes: np.ndarray, num_reads: int, seed: int = 7):
     return reads, cls
 
 
-def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
+def bench_device(index, reads, batch_reads, reads_per_chunk=8192, e2e_passes=4):
     """Steady-state device throughput over pipelined read batches.
 
     Timing honesty: on this environment ``jax.block_until_ready`` does
@@ -212,13 +217,17 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
             pred_parts.append(np.asarray(p)[:n_b])
         return np.concatenate(pred_parts), time.time() - t0
 
-    # the tunnel's bandwidth swings ~10x between runs; best-of-2 passes
-    # reports the capability, both samples are logged
-    profiling.reset()
+    # the tunnel's bandwidth swings ~10x between runs and the first
+    # pass after connect always rides a cold link, so: one unmeasured
+    # pre-warm pass, then best-of-N measured passes with every sample
+    # recorded (the artifact must carry the evidence, not just the max)
     total_reads = sum(len(b) for b in batches)
-    preds, s1 = e2e_pass()
-    _, s2 = e2e_pass()
-    e2e_samples = [total_reads / s1, total_reads / s2]
+    preds, _ = e2e_pass()  # link pre-warm (discarded)
+    profiling.reset()
+    e2e_samples = []
+    for _ in range(e2e_passes):
+        preds, s = e2e_pass()
+        e2e_samples.append(total_reads / s)
     e2e_rps = max(e2e_samples)
     log(f"e2e passes: {[f'{r:,.0f}' for r in e2e_samples]} reads/s (best kept)")
     log("per-phase attribution (e2e loop):", profiling.report_json())
@@ -246,7 +255,7 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192):
         f"({e2e_rps * kmers_per_read * index.num_hashes / 1e9:.2f} G probe-lookups/s)"
     )
     log(f"device-only (batch redispatch, forced sync): {dev_rps:,.0f} reads/s")
-    return e2e_rps, dev_rps, preds
+    return e2e_rps, dev_rps, preds, e2e_samples
 
 
 def bench_cpu_baseline(index, reads, sample=512, repeats=5):
@@ -290,6 +299,161 @@ def bench_cpu_baseline(index, reads, sample=512, repeats=5):
     return native_rps or python_rps, python_rps, native_rates
 
 
+def run_species_config(
+    classes: int,
+    genome_mb: float,
+    num_reads: int,
+    batch_reads: int,
+    label: str,
+    ref_hashes: int = 7,
+    baseline_sample: int = 512,
+    baseline_repeats: int = 9,
+    measure_accuracy: bool = True,
+    e2e_passes: int = 4,
+):
+    """One BASELINE config end-to-end: device rates + CPU baselines.
+
+    Returns (config_dict, details) where config_dict is the compact
+    ``{config, value, unit, vs_baseline}`` entry and details carries
+    every sample backing it.
+    """
+    index, genomes = build_or_load_index(classes, genome_mb)
+    reads, true_cls = simulate_reads(genomes, num_reads)
+
+    log(f"--- config {label}: {classes} classes, {index.nbytes / 1e6:.0f} MB, "
+        f"h={index.num_hashes}, fields/word={index.fields_per_word}")
+    e2e_rps, dev_rps, preds, e2e_samples = bench_device(
+        index, reads, batch_reads, e2e_passes=e2e_passes
+    )
+    acc = None
+    if measure_accuracy:
+        n_eval = min(len(preds), len(true_cls))
+        acc = float((preds[:n_eval] == true_cls[:n_eval]).mean())
+        log(f"argmax accuracy vs source genome: {acc:.4f}")
+
+    # baseline measured on the REFERENCE design point (classic layout,
+    # h=7 for COBS species / h=1 for the genus Bloom filter): framework
+    # layout improvements must not strengthen the baseline
+    ref_index, _ = build_or_load_index(
+        classes, genome_mb, reference_geometry=True, ref_hashes=ref_hashes
+    )
+    cpu_rps, python_rps, baseline_rates = bench_cpu_baseline(
+        ref_index, reads, sample=baseline_sample, repeats=baseline_repeats
+    )
+    # fairness cross-check: the SAME native C++ baseline on the
+    # framework's packed layout — both ratios are recorded so the
+    # headline can be checked against the stronger of the two
+    cpu_packed_rps, _, packed_rates = bench_cpu_baseline(
+        index, reads, sample=max(256, baseline_sample // 2), repeats=5
+    )
+    log(f"cpu native on packed layout: {cpu_packed_rps:,.0f} reads/s")
+    strongest_cpu = max(cpu_rps, cpu_packed_rps)
+
+    config = {
+        "config": label,
+        "value": round(dev_rps),
+        "unit": "reads/s",
+        # conservative: ratio against the STRONGEST cpu baseline of the
+        # two layouts (reference design point vs framework layout)
+        "vs_baseline": round(dev_rps / strongest_cpu, 1),
+    }
+    details = {
+        "classes": classes,
+        "genome_mb": genome_mb,
+        "index_mb": round(index.nbytes / 1e6, 1),
+        "num_hashes": index.num_hashes,
+        "fields_per_word": index.fields_per_word,
+        "device_reads_per_s": round(dev_rps),
+        "e2e_through_dev_tunnel_reads_per_s": round(e2e_rps),
+        "e2e_samples": [round(r) for r in e2e_samples],
+        "e2e_vs_device": round(e2e_rps / dev_rps, 2),
+        "kmer_lookups_per_s": round(dev_rps * (READ_LEN - K + 1)),
+        "cpu_1core_native_ref_layout_reads_per_s": round(cpu_rps),
+        "cpu_1core_native_packed_layout_reads_per_s": round(cpu_packed_rps),
+        "cpu_1core_python_reads_per_s": round(python_rps),
+        "vs_ref_layout_baseline": round(dev_rps / cpu_rps, 1),
+        "vs_packed_layout_baseline": round(dev_rps / cpu_packed_rps, 1),
+        "vs_reference_style_path": round(dev_rps / python_rps, 1),
+        # shared dev host: CPU rate swings ~2x run-to-run; the raw
+        # samples back the medians used above
+        "cpu_baseline_samples": [round(r) for r in baseline_rates],
+        "cpu_packed_baseline_samples": [round(r) for r in packed_rates],
+    }
+    if acc is not None:
+        details["argmax_accuracy"] = round(acc, 4)
+    return config, details
+
+
+def run_mlst_config(quick: bool):
+    """BASELINE config 3 via tools/bench_mlst.py (own process: separate
+
+    model registry tmpdir + device program cache)."""
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        str(Path(__file__).resolve().parent / "tools" / "bench_mlst.py"),
+    ]
+    if quick:
+        cmd += ["--genomes", "4", "--alleles", "10"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        if r.returncode != 0:
+            return {"config": "mlst-7locus", "error": r.stderr[-300:]}, {}
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        log(f"mlst: {out}")
+        return (
+            {
+                "config": "mlst-7locus",
+                "value": out["value"],
+                "unit": out["unit"],
+                "vs_baseline": out.get("vs_baseline"),
+            },
+            out.get("extra", {}),
+        )
+    except Exception as exc:  # never fail the headline bench
+        return {"config": "mlst-7locus", "error": str(exc)[:300]}, {}
+
+
+def _start_watchdog(seconds: int, configs: list, details: dict):
+    """Emit a partial artifact and exit if the run wedges.
+
+    The dev TPU rides a network tunnel that can hang indefinitely
+    (device enumeration succeeds, execution never returns — observed
+    for ~20 min stretches); a hung jax call is not interruptible from
+    Python, so on expiry the watchdog prints whatever configs finished
+    and hard-exits.  A partial artifact beats none.
+    """
+
+    def fire():
+        headline = configs[0] if configs else {}
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        headline.get("config", "bench")
+                        + " (WATCHDOG TIMEOUT: partial results)"
+                    ),
+                    "value": headline.get("value", 0),
+                    "unit": headline.get("unit", "reads/s"),
+                    "vs_baseline": headline.get("vs_baseline"),
+                    "extra": {
+                        "watchdog_timeout_s": seconds,
+                        "configs": configs,
+                        **details,
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--classes", type=int, default=8)
@@ -298,6 +462,17 @@ def main():
     ap.add_argument("--batch-reads", type=int, default=100_000)
     ap.add_argument("--quick", action="store_true", help="small sizes for smoke test")
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    ap.add_argument(
+        "--headline-only",
+        action="store_true",
+        help="skip the genus/40-class/mlst configs and scaling",
+    )
+    ap.add_argument(
+        "--watchdog-seconds",
+        type=int,
+        default=2100,
+        help="emit whatever finished and exit after this long (0 = off)",
+    )
     args = ap.parse_args()
 
     if args.quick:
@@ -310,26 +485,62 @@ def main():
         # must happen before any backend use (the environment's TPU plugin
         # force-overrides JAX_PLATFORMS, so env vars are not enough)
         jax.config.update("jax_platforms", args.platform)
-
-    index, genomes = build_or_load_index(args.classes, args.genome_mb)
-    reads, true_cls = simulate_reads(genomes, args.reads)
-
     log(f"devices: {jax.devices()}")
-    e2e_rps, dev_rps, preds = bench_device(index, reads, args.batch_reads)
-    n_eval = min(len(preds), len(true_cls))
-    acc = float((preds[:n_eval] == true_cls[:n_eval]).mean())
-    log(f"argmax accuracy vs source genome: {acc:.4f}")
 
-    # baseline measured on the REFERENCE design point (h=7, classic
-    # layout): framework layout improvements must not strengthen it
-    ref_index, _ = build_or_load_index(
-        args.classes, args.genome_mb, reference_geometry=True
+    configs: list = []
+    details: dict = {}
+    watchdog = None
+    if args.watchdog_seconds:
+        watchdog = _start_watchdog(args.watchdog_seconds, configs, details)
+
+    # ---- config 2/4 headline: multi-species classification ----------
+    headline, headline_details = run_species_config(
+        args.classes,
+        args.genome_mb,
+        args.reads,
+        args.batch_reads,
+        label=f"species-{args.classes}class-headline",
     )
-    cpu_rps, python_rps, baseline_rates = bench_cpu_baseline(
-        ref_index, reads, sample=512, repeats=9
-    )
-    cpu_packed_rps, _, _ = bench_cpu_baseline(index, reads, sample=256, repeats=3)
-    log(f"cpu native on packed layout (extra): {cpu_packed_rps:,.0f} reads/s")
+
+    configs.append(headline)
+    details["species_headline"] = headline_details
+
+    if not (args.quick or args.headline_only):
+        # ---- config 1: genus single-filter (C=1, h=1 reference
+        # geometry = the rbloom Bloom-filter path) ---------------------
+        genus, genus_details = run_species_config(
+            1,
+            args.genome_mb,
+            args.reads,
+            args.batch_reads,
+            label="genus-1class-filter",
+            ref_hashes=1,
+            measure_accuracy=False,
+            e2e_passes=2,
+        )
+        configs.append(genus)
+        details["genus_filter"] = genus_details
+
+        # ---- reference-scale: ~40-species Acinetobacter geometry
+        # (auto layout lands in the flat slow-gather regime; the
+        # multi-chip answer is block-axis sharding — docs/performance.md)
+        refscale, refscale_details = run_species_config(
+            40,
+            args.genome_mb,
+            min(args.reads, 200_000),
+            args.batch_reads,
+            label="species-40class-reference-scale",
+            baseline_sample=256,
+            baseline_repeats=5,
+            e2e_passes=2,
+        )
+        configs.append(refscale)
+        details["species_40class_reference_scale"] = refscale_details
+
+        # ---- config 3: MLST strain typing ----------------------------
+        mlst, mlst_details = run_mlst_config(args.quick)
+        configs.append(mlst)
+        details["mlst"] = mlst_details
 
     # multi-process scaling efficiency (CPU mesh, core-pinned; the
     # 2-host proxy available in this environment — tools/bench_scaling.py)
@@ -355,44 +566,31 @@ def main():
         except Exception as exc:  # never fail the headline bench
             scaling = {"scaling_error": str(exc)[:300]}
 
+    if watchdog is not None:
+        watchdog.cancel()
     print(
         json.dumps(
             {
                 # Headline = sustained per-chip rate (device-resident
                 # input, forced sync): the development host link is a
                 # ~10-50 MB/s network tunnel whose bandwidth swings 10x
-                # run-to-run, so tunnel-e2e (reported in extra) measures
-                # the tunnel, not the framework.  vs_baseline is against
-                # the STRONGEST single-core CPU baseline (our own native
-                # C++ batch query); the reference's per-record
-                # Python->COBS style path is the python figure.
+                # run-to-run, so tunnel-e2e (in extra, with every pass
+                # sample) measures the tunnel, not the framework.
+                # vs_baseline is against the STRONGEST single-core CPU
+                # baseline measured (native C++ on either layout); the
+                # reference's per-record Python->COBS style path is the
+                # python figure in extra.
                 "metric": (
                     "reads/sec/chip, device-side (species classification, "
                     "150bp reads; excludes dev-tunnel host link — see extra)"
                 ),
-                "value": round(dev_rps),
+                "value": headline["value"],
                 "unit": "reads/s",
-                "vs_baseline": round(dev_rps / cpu_rps, 1),
+                "vs_baseline": headline["vs_baseline"],
                 "extra": {
-                    "e2e_through_dev_tunnel_reads_per_s": round(e2e_rps),
-                    "cpu_1core_native_reads_per_s": round(cpu_rps),
-                    "cpu_1core_native_packed_layout_reads_per_s": round(
-                        cpu_packed_rps
-                    ),
-                    "cpu_1core_python_reads_per_s": round(python_rps),
-                    "vs_reference_style_path": round(dev_rps / python_rps, 1),
-                    "argmax_accuracy": round(acc, 4),
-                    "classes": args.classes,
-                    "genome_mb": args.genome_mb,
-                    "index_mb": round(index.nbytes / 1e6, 1),
-                    "kmer_lookups_per_s": round(
-                        dev_rps * (READ_LEN - K + 1)
-                    ),
-                    "num_hashes": index.num_hashes,
-                    "fields_per_word": index.fields_per_word,
-                    # shared dev host: CPU rate swings ~2x run-to-run;
-                    # the raw samples back the median used above
-                    "cpu_baseline_samples": [round(r) for r in baseline_rates],
+                    # all BASELINE.json configs in one artifact
+                    "configs": configs,
+                    **details,
                     **scaling,
                 },
             }

@@ -109,17 +109,51 @@ def main():
     gps = args.genomes / dt
     bps = args.genomes * args.genome_len / dt
 
+    # CPU baseline: the identical per-locus chunk queries through the
+    # single-core native C++ path — the in-environment stand-in for the
+    # reference's per-locus COBS compact-index search (reference:
+    # src/xspect/models/probabilistic_filter_mlst_model.py:362-380).
+    from xspect2_tpu import native
+    from xspect2_tpu.core import dna
+    from xspect2_tpu.models.mlst_model import SPLIT_MIN_LENGTH
+
+    n_base = min(args.genomes, 5)
+    t0 = time.time()
+    for rec in genomes[:n_base]:
+        for li, idx in enumerate(model.indices):
+            pieces = (
+                model.sequence_splitter(rec.seq, model.avg_locus_bp_size[li])
+                if len(rec.seq) >= SPLIT_MIN_LENGTH
+                else [rec.seq]
+            )
+            for p in pieces:
+                codes = dna.encode(p)
+                if native.available():
+                    native.count_hits(idx, codes)
+                else:
+                    hi, lo, valid = dna.canonical_kmers(codes, model.k)
+                    idx.count_hits_host(hi, lo, valid)
+    cpu_dt = time.time() - t0
+    cpu_gps = n_base / cpu_dt
+    print(
+        f"cpu baseline ({'native C++' if native.available() else 'numpy'}, "
+        f"{n_base} genomes): {cpu_gps:.2f} genomes/s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
                 "metric": "MLST typings/sec (synthetic 7-locus scheme, 100kb genomes)",
                 "value": round(gps, 2),
                 "unit": "genomes/s",
-                "vs_baseline": None,
+                "vs_baseline": round(gps / cpu_gps, 1),
                 "extra": {
                     "bases_per_s": round(bps),
                     "locus_allele_accuracy": round(correct / total, 4),
                     "fit_s": round(fit_s, 1),
+                    "cpu_1core_genomes_per_s": round(cpu_gps, 2),
+                    "cpu_backend": "native" if native.available() else "numpy",
                 },
             }
         )
