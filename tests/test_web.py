@@ -24,6 +24,19 @@ def test_index_page(client):
     assert b"XspecT2-TPU" in resp.data
 
 
+def test_index_page_deep_link_routes(client):
+    """The served UI carries the reference SPA's deep-linkable routes
+    (reference: src/xspect/xspect-web/src/App.tsx:14-27)."""
+    html = client.get("/").data.decode()
+    # the router and every route pattern must survive UI refactors
+    assert "window.addEventListener('hashchange', route)" in html
+    for marker in ("#/result/", "#/filter-result/", "#/models/", "'#/' + b.dataset.v"):
+        assert marker in html, marker
+    # submitted jobs must write the uuid into the URL
+    assert "location.hash = '#/result/' + uuid" in html
+    assert "location.hash = '#/filter-result/' + uuid" in html
+
+
 def test_list_models(client, session_data_root):
     resp = client.get("/api/list-models")
     assert resp.status_code == 200
