@@ -478,6 +478,12 @@ def main():
     if args.quick:
         args.classes, args.genome_mb = 4, 0.5
         args.reads, args.batch_reads = 20_000, 10_000
+        if args.platform is None:
+            # quick is a code smoke test, not a perf claim: tiny-table
+            # shapes have wedged the axon TPU backend mid-compile
+            # (observed 20+ min chip-wide stalls), so keep it on CPU
+            args.platform = "cpu"
+            log("--quick: forcing cpu platform (tiny shapes wedge the dev TPU)")
 
     import jax
 
@@ -507,10 +513,14 @@ def main():
 
     if not (args.quick or args.headline_only):
         # ---- config 1: genus single-filter (C=1, h=1 reference
-        # geometry = the rbloom Bloom-filter path) ---------------------
+        # geometry = the rbloom Bloom-filter path).  32 MB metagenome:
+        # representative of a real genus filter AND a ~99 MB table —
+        # the proven fast-regime shape (docs/performance.md "Genus
+        # (single-class) models"); small tables compile to untested
+        # shapes on the axon backend ----------------------------------
         genus, genus_details = run_species_config(
             1,
-            args.genome_mb,
+            max(args.genome_mb, 32.0),
             args.reads,
             args.batch_reads,
             label="genus-1class-filter",

@@ -313,10 +313,21 @@ async function pollFilterResult(uuid) {
       if (r.status === 200) {
         const d = await r.json();
         $('fStatus').textContent = d.message;
-        if ((d.message || '').includes('successfully')) {
-          $('fResult').innerHTML =
-            `<div class="card"><a href="/api/download-filtered?uuid=${encodeURIComponent(uuid)}">Download filtered FASTA</a></div>`;
+        // the filter job records its underlying classification under
+        // the same uuid: render the score chart next to the download
+        // (the reference SPA's filter-result view)
+        let scores = '';
+        const cr = await fetch('/api/classification-result?uuid=' + encodeURIComponent(uuid));
+        if (cr.status === 200) {
+          const c = await cr.json();
+          if (c.scores && c.scores.total)
+            scores = `<h3 style="font-size:.9em">Filter scores (total)</h3>${scoreBars(c.scores.total)}`;
         }
+        const dl = (d.message || '').includes('successfully')
+          ? `<a href="/api/download-filtered?uuid=${encodeURIComponent(uuid)}">Download filtered FASTA</a>`
+          : '';
+        if (dl || scores)
+          $('fResult').innerHTML = `<div class="card">${dl}${scores}</div>`;
         return;
       }
       await new Promise(res => setTimeout(res, 1000));
