@@ -255,7 +255,35 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192, e2e_passes=4):
         f"({e2e_rps * kmers_per_read * index.num_hashes / 1e9:.2f} G probe-lookups/s)"
     )
     log(f"device-only (batch redispatch, forced sync): {dev_rps:,.0f} reads/s")
-    return e2e_rps, dev_rps, preds, e2e_samples
+    raw_gather = measure_raw_gather(engine)
+    return e2e_rps, dev_rps, preds, e2e_samples, raw_gather
+
+
+def measure_raw_gather(engine, n=1 << 21, iters=4):
+    """Raw block-gather rate on the config's own device table (rows/s).
+
+    The query is gather-bound (docs/performance.md), so this single
+    number says whether a config's reads/s reflects the engine or the
+    environment: engine efficiency = (reads/s x kmers/read x gathers/
+    kmer) / this rate.  Recorded alongside slow-regime configs because
+    the dev chip's large-table gather rate has been observed to swing
+    >10x between sessions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    nb = int(engine.table.shape[0])
+    idx = jnp.asarray(rng.integers(0, nb, size=n, dtype=np.int32))
+    f = jax.jit(lambda t, i: jnp.sum(jnp.take(t, i, axis=0), dtype=jnp.uint32))
+    _ = int(np.asarray(f(engine.table, idx)))
+    t0 = time.time()
+    for _ in range(iters):
+        out = f(engine.table, idx)
+    _ = int(np.asarray(out))
+    rate = n / ((time.time() - t0) / iters)
+    log(f"raw block-gather rate on this table: {rate / 1e6:.1f} M rows/s")
+    return rate
 
 
 def bench_cpu_baseline(index, reads, sample=512, repeats=5):
@@ -322,7 +350,7 @@ def run_species_config(
 
     log(f"--- config {label}: {classes} classes, {index.nbytes / 1e6:.0f} MB, "
         f"h={index.num_hashes}, fields/word={index.fields_per_word}")
-    e2e_rps, dev_rps, preds, e2e_samples = bench_device(
+    e2e_rps, dev_rps, preds, e2e_samples, raw_gather = bench_device(
         index, reads, batch_reads, e2e_passes=e2e_passes
     )
     acc = None
@@ -368,6 +396,13 @@ def run_species_config(
         "e2e_samples": [round(r) for r in e2e_samples],
         "e2e_vs_device": round(e2e_rps / dev_rps, 2),
         "kmer_lookups_per_s": round(dev_rps * (READ_LEN - K + 1)),
+        # gather-bound workload: lookups/s vs the raw gather rate on
+        # this very table = engine efficiency; the raw rate itself
+        # tells environment (dev-chip slow-regime swings) from engine
+        "raw_block_gathers_per_s": round(raw_gather),
+        "engine_gather_efficiency": round(
+            dev_rps * (READ_LEN - K + 1) / raw_gather, 2
+        ),
         "cpu_1core_native_ref_layout_reads_per_s": round(cpu_rps),
         "cpu_1core_native_packed_layout_reads_per_s": round(cpu_packed_rps),
         "cpu_1core_python_reads_per_s": round(python_rps),
