@@ -183,32 +183,21 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
         records = [(f"piece{i}", dna.encode(p)) for i, p in enumerate(pieces)]
         return engine.count_hits_records(records, step=step)
 
-    def calculate_hits(
-        self,
-        sequence: str,
-        step: int = 1,
-        limit: bool = False,
-        limit_number: int = 5,
-    ) -> list[dict]:
-        """Per-locus allele scores and the argmax strain type."""
-        if isinstance(sequence, SeqRecord):
-            sequence = sequence.seq
+    def _dispatch_loci(self, sequence: str, step: int) -> list[tuple]:
+        """Dispatch every locus query for one sequence WITHOUT syncing.
+
+        Returns [(device_out, n_pieces), ...] per locus; combine any
+        number of these (across loci AND across records) with
+        :meth:`_fetch_counts` so the device round-trip latency is paid
+        once per fetch, not once per locus or record.
+        """
         if not isinstance(sequence, str):
             raise ValueError("Invalid sequence, must be a string")
         if not len(sequence) > self.k:
             raise ValueError("Invalid sequence, must be longer than k")
         if not self.indices:
             raise ValueError("The model has not been trained yet")
-
-        loci_names = list(self.loci.keys())
-        result_dict: dict | str = {}
-        highest_results: dict = {}
-        any_locus_empty = False
-
         use_split = len(sequence) >= SPLIT_MIN_LENGTH
-        # dispatch every locus query without synchronizing, then fetch:
-        # all loci pay the device round-trip latency once (the per-locus
-        # sync was the dominant cost for assembled-genome inputs)
         dispatched = []
         for li, engine in enumerate(self.engines):
             if use_split:
@@ -220,24 +209,57 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
             records = [(f"piece{i}", dna.encode(p)) for i, p in enumerate(pieces)]
             out = engine.count_hits_records(records, step=step, block=False)
             dispatched.append((out, len(records)))
+        return dispatched
 
-        # single device->host fetch for all loci (one round-trip: the
-        # per-locus transfer latency dominated assembled-genome typing)
+    @staticmethod
+    def _fetch_counts(dispatched: list[tuple]) -> list[np.ndarray]:
+        """ONE device->host transfer for any number of dispatched outputs."""
         import jax.numpy as jnp
 
         flat = np.asarray(
             jnp.concatenate([o.reshape(-1) for o, _ in dispatched])
         )
         offsets = np.cumsum([0] + [int(np.prod(o.shape)) for o, _ in dispatched])
+        return [
+            flat[offsets[i] : offsets[i + 1]]
+            .reshape(o.shape)[:n_pieces]
+            .astype(np.int64)
+            for i, (o, n_pieces) in enumerate(dispatched)
+        ]
 
-        for li, engine in enumerate(self.engines):
+    def calculate_hits(
+        self,
+        sequence: str,
+        step: int = 1,
+        limit: bool = False,
+        limit_number: int = 5,
+    ) -> list[dict]:
+        """Per-locus allele scores and the argmax strain type."""
+        if isinstance(sequence, SeqRecord):
+            sequence = sequence.seq
+        dispatched = self._dispatch_loci(sequence, step)
+        counts_per_locus = self._fetch_counts(dispatched)
+        return self._assemble_hits(
+            sequence, counts_per_locus, limit, limit_number
+        )
+
+    def _assemble_hits(
+        self,
+        sequence: str,
+        counts_per_locus: list[np.ndarray],
+        limit: bool = False,
+        limit_number: int = 5,
+    ) -> list[dict]:
+        """Host post-processing of fetched per-locus counts."""
+        loci_names = list(self.loci.keys())
+        result_dict: dict | str = {}
+        highest_results: dict = {}
+        any_locus_empty = False
+        use_split = len(sequence) >= SPLIT_MIN_LENGTH
+
+        for li in range(len(self.indices)):
             names = self.indices[li].class_names
-            out, n_pieces = dispatched[li]
-            counts = (
-                flat[offsets[li] : offsets[li + 1]]
-                .reshape(out.shape)[:n_pieces]
-                .astype(np.int64)
-            )
+            counts = counts_per_locus[li]
             if use_split:
                 # per-chunk threshold, then sum over chunks
                 counts = np.where(counts > CHUNK_SCORE_THRESHOLD, counts, 0)
@@ -320,6 +342,12 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
             )
 
         if hasattr(sequence_input, "__iter__"):
+            # one record per dispatch+fetch round: cross-record fetch
+            # batching was measured SLOWER on the dev chip (the fetch
+            # saved ~25 ms/record but the round's wide concatenate
+            # compiles per distinct record-count and the queued
+            # transfers congest the tunneled link) — the per-record
+            # loop is the measured-fastest multi-genome path
             hits = {}
             for record in sequence_input:
                 hits[record.id] = self.calculate_hits(record.seq, step, limit)
