@@ -25,7 +25,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--loci", type=int, default=7)
-    ap.add_argument("--alleles", type=int, default=50)
+    # real PubMLST Oxford loci carry ~1000-2000 alleles; 50 is a toy
+    # scale where the device path is pure tunnel latency
+    ap.add_argument("--alleles", type=int, default=1000)
     ap.add_argument("--allele-len", type=int, default=450)
     ap.add_argument("--genomes", type=int, default=20)
     ap.add_argument("--genome-len", type=int, default=100_000)
