@@ -450,6 +450,43 @@ def run_mlst_config(quick: bool):
         return {"config": "mlst-7locus", "error": str(exc)[:300]}, {}
 
 
+def _wait_for_device(max_wait_s: int = 900) -> bool:
+    """Wait until the accelerator actually executes work.
+
+    The dev chip enumerates fine while wedged (no execution returns for
+    minutes after a client dies mid-operation — docs/performance.md
+    "Measurement honesty").  Probe it in a SUBPROCESS with a timeout so
+    a hung probe can't take this process down, and retry until the chip
+    answers or ``max_wait_s`` elapses.  Returns readiness.
+    """
+    import subprocess
+
+    probe = (
+        "import numpy as np, jax, jax.numpy as jnp;"
+        "x = jax.device_put(np.ones((128,128), np.float32));"
+        "print(float(jnp.sum(x)))"
+    )
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=75
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"device answered on probe {attempt}")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            log(f"device still not executing after {max_wait_s}s; proceeding anyway")
+            return False
+        log(f"device probe {attempt} hung/failed; retrying (wedged-chip recovery)")
+        time.sleep(60)
+
+
 def _start_watchdog(seconds: int, configs: list, details: dict):
     """Emit a partial artifact and exit if the run wedges.
 
@@ -527,6 +564,8 @@ def main():
         # force-overrides JAX_PLATFORMS, so env vars are not enough)
         jax.config.update("jax_platforms", args.platform)
     log(f"devices: {jax.devices()}")
+    if args.platform != "cpu" and not args.quick:
+        _wait_for_device()
 
     configs: list = []
     details: dict = {}
@@ -547,19 +586,21 @@ def main():
     details["species_headline"] = headline_details
 
     if not (args.quick or args.headline_only):
-        # ---- config 1: genus single-filter (C=1, h=1 reference
-        # geometry = the rbloom Bloom-filter path).  32 MB metagenome:
+        # ---- config 1: genus single-filter (C=1).  32 MB metagenome:
         # representative of a real genus filter AND a ~99 MB table —
         # the proven fast-regime shape (docs/performance.md "Genus
         # (single-class) models"); small tables compile to untested
-        # shapes on the axon backend ----------------------------------
+        # shapes on the axon backend.  Reference geometry = h=7: the
+        # reference's rbloom Bloom(n, fpr) derives the optimal probe
+        # count (~7 at fpr=0.01) internally — the model's num_hashes=1
+        # attribute is metadata only
+        # (probabilistic_single_filter_model.py:58,88) -----------------
         genus, genus_details = run_species_config(
             1,
             max(args.genome_mb, 32.0),
             args.reads,
             args.batch_reads,
             label="genus-1class-filter",
-            ref_hashes=1,
             measure_accuracy=False,
             e2e_passes=2,
         )
