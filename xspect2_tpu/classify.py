@@ -1,8 +1,11 @@
 """Classification facades: genus, species, MLST.
 
-Mirror the reference module (reference: src/xspect/classify.py): load the
-right model class by slug and metadata, iterate input files (file or
-directory), write one result JSON per input.
+Same observable contract as the reference module (reference:
+src/xspect/classify.py): resolve the model by slug/metadata, fan out
+over the input (file or directory), write one result JSON per input.
+Structured here as one shared driver parameterized by (model loader,
+predict kwargs) — models are device-resident LRU-cached entries
+(xspect2_tpu.model_cache), not reloaded per call.
 """
 
 from pathlib import Path
@@ -12,22 +15,32 @@ from xspect2_tpu.file_io import prepare_input_output_paths
 from xspect2_tpu.model_cache import load_cached
 
 
+def _classify_inputs(model_cls, model_path: Path, input_path: Path,
+                     output_path: Path, **predict_kwargs):
+    """Fan a file-or-directory input through one cached model."""
+    model = load_cached(model_cls, model_path)
+    input_paths, get_output_path = prepare_input_output_paths(input_path)
+    for idx, current_path in enumerate(input_paths):
+        result = model.predict(current_path, **predict_kwargs)
+        result.input_source = current_path.name
+        cls_path = get_output_path(idx, output_path)
+        result.save(cls_path)
+        print(f"Saved result as {cls_path.name}")
+
+
 def classify_genus(
     model_genus: str, input_path: Path, output_path: Path, step: int = 1
 ):
     """Classify input files using the genus (single-filter) model."""
     from xspect2_tpu.models.single_filter_model import ProbabilisticSingleFilterModel
 
-    model_path = mm.get_genus_model_path(model_genus)
-    model = load_cached(ProbabilisticSingleFilterModel, model_path)
-    input_paths, get_output_path = prepare_input_output_paths(input_path)
-
-    for idx, current_path in enumerate(input_paths):
-        result = model.predict(current_path, step=step)
-        result.input_source = current_path.name
-        cls_path = get_output_path(idx, output_path)
-        result.save(cls_path)
-        print(f"Saved result as {cls_path.name}")
+    _classify_inputs(
+        ProbabilisticSingleFilterModel,
+        mm.get_genus_model_path(model_genus),
+        input_path,
+        output_path,
+        step=step,
+    )
 
 
 def classify_species(
@@ -45,22 +58,16 @@ def classify_species(
     else:
         from xspect2_tpu.models.filter_model import ProbabilisticFilterModel as ModelClass
 
-    model_path = mm.get_species_model_path(model_genus)
-    model = load_cached(ModelClass, model_path)
-    input_paths, get_output_path = prepare_input_output_paths(input_path)
-
-    for idx, current_path in enumerate(input_paths):
-        result = model.predict(
-            current_path,
-            exclude_ids=exclude_ids,
-            step=step,
-            display_name=display_name,
-            validation=validation,
-        )
-        result.input_source = current_path.name
-        cls_path = get_output_path(idx, output_path)
-        result.save(cls_path)
-        print(f"Saved result as {cls_path.name}")
+    _classify_inputs(
+        ModelClass,
+        mm.get_species_model_path(model_genus),
+        input_path,
+        output_path,
+        exclude_ids=exclude_ids,
+        step=step,
+        display_name=display_name,
+        validation=validation,
+    )
 
 
 def classify_mlst(
@@ -69,12 +76,11 @@ def classify_mlst(
     """Classify the strain type using the specified MLST model."""
     from xspect2_tpu.models.mlst_model import ProbabilisticFilterMlstSchemeModel
 
-    scheme_path = mm.get_mlst_model_path(organism, mlst_scheme)
-    model = load_cached(ProbabilisticFilterMlstSchemeModel, scheme_path)
-    input_paths, get_output_path = prepare_input_output_paths(input_path)
-    for idx, current_path in enumerate(input_paths):
-        result = model.predict(current_path, step=1, limit=limit)
-        result.input_source = current_path.name
-        cls_path = get_output_path(idx, output_path)
-        result.save(cls_path)
-        print(f"Saved result as {cls_path.name}")
+    _classify_inputs(
+        ProbabilisticFilterMlstSchemeModel,
+        mm.get_mlst_model_path(organism, mlst_scheme),
+        input_path,
+        output_path,
+        step=1,
+        limit=limit,
+    )
