@@ -95,6 +95,129 @@ inline void for_each_canonical_kmer(const uint8_t* codes, int64_t n, int k,
     }
 }
 
+// ---- XXH3-64 for inputs up to 240 bytes -------------------------------
+//
+// The exact hash the reference's genus Bloom filter applies to canonical
+// k-mer ASCII strings (reference:
+// src/xspect/models/probabilistic_single_filter_model.py:88,157).
+// Bit-identical to xspect2_tpu/core/xxh3.py and to the xxhash C library
+// (pinned in tests/test_xxh3.py); k-mer strings are 21-31 bytes so the
+// long-input (>240 B) algorithm is out of scope here.
+namespace xxh3 {
+
+constexpr uint64_t P64_1 = 0x9E3779B185EBCA87ULL;
+constexpr uint64_t P64_2 = 0xC2B2AE3D27D4EB4FULL;
+constexpr uint64_t P64_3 = 0x165667B19E3779F9ULL;
+constexpr uint64_t MX1 = 0x165667919E3779F9ULL;   // XXH3 avalanche
+constexpr uint64_t MX2 = 0x9FB21C651E98DF25ULL;   // rrmxmx
+
+// XXH3_kSecret, the 192-byte default secret
+constexpr char SECRET_HEX[] =
+    "b8fe6c3923a44bbe7c01812cf721ad1cded46de9839097db7240a4a4b7b3671f"
+    "cb79e64eccc0e578825ad07dccff7221b8084674f743248ee03590e6813a264c"
+    "3c2852bb91c300cb88d0658b1b532ea371644897a20df94e3819ef46a9deacd8"
+    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d9787364"
+    "eac5ac8334d3ebc3c581a0fffa1363eb170ddd51b7f0da49d316552629d4689e"
+    "2b16be587d47a1fc8ff8b8d17ad031ce45cb3a8f95160428afd7fbcabb4b407e";
+
+struct SecretBytes {
+    uint8_t b[192];
+    SecretBytes() {
+        auto hex = [](char c) -> uint8_t {
+            return c <= '9' ? c - '0' : c - 'a' + 10;
+        };
+        for (int i = 0; i < 192; i++)
+            b[i] = hex(SECRET_HEX[2 * i]) * 16 + hex(SECRET_HEX[2 * i + 1]);
+    }
+};
+const SecretBytes SEC;
+
+inline uint64_t r64(const uint8_t* p) { uint64_t v; memcpy(&v, p, 8); return v; }
+inline uint32_t r32(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+inline uint64_t rotl(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+
+inline uint64_t avalanche_xxh64(uint64_t h) {
+    h ^= h >> 33; h *= P64_2;
+    h ^= h >> 29; h *= P64_3;
+    return h ^ (h >> 32);
+}
+
+inline uint64_t avalanche(uint64_t h) {
+    h ^= h >> 37; h *= MX1;
+    return h ^ (h >> 32);
+}
+
+inline uint64_t rrmxmx(uint64_t h, uint64_t len) {
+    h ^= rotl(h, 49) ^ rotl(h, 24);
+    h *= MX2;
+    h ^= (h >> 35) + len;
+    h *= MX2;
+    return h ^ (h >> 28);
+}
+
+inline uint64_t mul128_fold64(uint64_t a, uint64_t b) {
+    __uint128_t p = (__uint128_t)a * b;
+    return (uint64_t)p ^ (uint64_t)(p >> 64);
+}
+
+inline uint64_t mix16(const uint8_t* in, const uint8_t* sec, uint64_t seed) {
+    return mul128_fold64(r64(in) ^ (r64(sec) + seed),
+                         r64(in + 8) ^ (r64(sec + 8) - seed));
+}
+
+uint64_t hash(const uint8_t* d, int64_t n, uint64_t seed) {
+    const uint8_t* sec = SEC.b;
+    if (n == 0)
+        return avalanche_xxh64(seed ^ r64(sec + 56) ^ r64(sec + 64));
+    if (n <= 3) {
+        uint32_t combined = ((uint32_t)d[0] << 16) | ((uint32_t)d[n >> 1] << 24) |
+                            (uint32_t)d[n - 1] | ((uint32_t)n << 8);
+        uint64_t bitflip = (uint64_t)(r32(sec) ^ r32(sec + 4)) + seed;
+        return avalanche_xxh64(combined ^ bitflip);
+    }
+    if (n <= 8) {
+        uint64_t seed2 = seed ^ ((uint64_t)__builtin_bswap32((uint32_t)seed) << 32);
+        uint64_t input64 = (uint64_t)r32(d + n - 4) | ((uint64_t)r32(d) << 32);
+        uint64_t bitflip = (r64(sec + 8) ^ r64(sec + 16)) - seed2;
+        return rrmxmx(input64 ^ bitflip, (uint64_t)n);
+    }
+    if (n <= 16) {
+        uint64_t lo = r64(d) ^ ((r64(sec + 24) ^ r64(sec + 32)) + seed);
+        uint64_t hi = r64(d + n - 8) ^ ((r64(sec + 40) ^ r64(sec + 48)) - seed);
+        uint64_t acc = (uint64_t)n + __builtin_bswap64(lo) + hi +
+                       mul128_fold64(lo, hi);
+        return avalanche(acc);
+    }
+    if (n <= 128) {
+        uint64_t acc = (uint64_t)n * P64_1;
+        if (n > 32) {
+            if (n > 64) {
+                if (n > 96) {
+                    acc += mix16(d + 48, sec + 96, seed);
+                    acc += mix16(d + n - 64, sec + 112, seed);
+                }
+                acc += mix16(d + 32, sec + 64, seed);
+                acc += mix16(d + n - 48, sec + 80, seed);
+            }
+            acc += mix16(d + 16, sec + 32, seed);
+            acc += mix16(d + n - 32, sec + 48, seed);
+        }
+        acc += mix16(d, sec, seed);
+        acc += mix16(d + n - 16, sec + 16, seed);
+        return avalanche(acc);
+    }
+    // 129..240
+    uint64_t acc = (uint64_t)n * P64_1;
+    for (int i = 0; i < 8; i++) acc += mix16(d + 16 * i, sec + 16 * i, seed);
+    acc = avalanche(acc);
+    for (int i = 8; i < n / 16; i++)
+        acc += mix16(d + 16 * i, sec + 16 * (i - 8) + 3, seed);
+    acc += mix16(d + n - 16, sec + 136 - 17, seed);
+    return avalanche(acc);
+}
+
+}  // namespace xxh3
+
 }  // namespace
 
 extern "C" {
@@ -102,7 +225,34 @@ extern "C" {
 // ABI handshake for the ctypes loader: bump whenever an exported
 // signature changes so a stale prebuilt .so is refused instead of
 // being called with misaligned arguments (xspect2_tpu/native.py).
-int32_t xs_abi_version(void) { return 2; }
+int32_t xs_abi_version(void) { return 3; }
+
+// XXH3-64 of every row of an [n_rows, row_len] uint8 matrix (row_len
+// 0..240); multi-threaded for large batches. Returns 0 on success.
+int xs_xxh3_64(const uint8_t* data, int64_t n_rows, int64_t row_len,
+               uint64_t seed, uint64_t* out) {
+    if (row_len < 0 || row_len > 240) return -1;
+    auto span = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++)
+            out[i] = xxh3::hash(data + i * row_len, row_len, seed);
+    };
+    int64_t grain = 1 << 16;
+    if (n_rows < 2 * grain) {
+        span(0, n_rows);
+        return 0;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    int n_threads = std::max(1u, std::min(hw, 8u));
+    std::vector<std::thread> ts;
+    int64_t per = (n_rows + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t lo = t * per, hi = std::min(n_rows, lo + per);
+        if (lo >= hi) break;
+        ts.emplace_back(span, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+    return 0;
+}
 
 // ---------------------------------------------------------------- parsing
 

@@ -60,6 +60,29 @@ def test_batch_seeded():
     np.testing.assert_array_equal(got, want)
 
 
+def test_native_matches_library():
+    """The C++ xs_xxh3_64 (native/src/xspect_native.cpp) agrees with the
+    real library and the numpy batch across length paths and seeds."""
+    from xspect2_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    for length in (4, 8, 9, 16, 21, 31, 64, 128, 129, 240):
+        arr = rng.integers(0, 256, (64, length), dtype=np.uint8)
+        want = np.array(
+            [xxhash.xxh3_64_intdigest(bytes(r)) for r in arr], dtype=np.uint64
+        )
+        np.testing.assert_array_equal(native.xxh3_64_batch(arr), want)
+        np.testing.assert_array_equal(xxh3_64_batch(arr), want)
+    arr = rng.integers(0, 256, (16, 31), dtype=np.uint8)
+    seed = 987654321
+    want = np.array(
+        [xxhash.xxh3_64_intdigest(bytes(r), seed) for r in arr], dtype=np.uint64
+    )
+    np.testing.assert_array_equal(native.xxh3_64_batch(arr, seed), want)
+
+
 def test_batch_rejects_bad_shapes():
     with pytest.raises(ValueError):
         xxh3_64_batch(np.zeros(8, dtype=np.uint8))

@@ -23,7 +23,7 @@ _LIB_PATHS = [
 # its generation via xs_abi_version() and the loader refuses anything
 # else (a stale .so called with the new argtypes would corrupt indices
 # silently, not just crash).
-ABI_VERSION = 2
+ABI_VERSION = 3
 
 _lib = None
 _build_attempted = False
@@ -132,9 +132,33 @@ def _configure(lib):
     lib.xs_pack_2bit.argtypes = [u8p, i64, i64, u8p, u8p, i32]
     lib.xs_pack_2bit.restype = None
 
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.xs_xxh3_64.argtypes = [u8p, i64, i64, ctypes.c_uint64, u64p]
+    lib.xs_xxh3_64.restype = i32
+
 
 def available() -> bool:
     return _load() is not None
+
+
+def xxh3_64_batch(arr: np.ndarray, seed: int = 0):
+    """XXH3-64 of every row of an [n, L] uint8 array (L <= 240), or None.
+
+    Bit-identical to xspect2_tpu.core.xxh3 and the xxhash C library —
+    the reference's genus Bloom k-mer hash. Falls back to None when the
+    native library is unavailable (callers use the numpy path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("expected an [n, L] uint8 array")
+    arr = np.ascontiguousarray(arr)
+    out = np.empty(arr.shape[0], dtype=np.uint64)
+    rc = lib.xs_xxh3_64(arr, arr.shape[0], arr.shape[1], seed & (2**64 - 1), out)
+    if rc != 0:
+        raise ValueError("row length out of the supported 0..240 range")
+    return out
 
 
 # ---------------------------------------------------------------- parsing
