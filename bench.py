@@ -455,36 +455,38 @@ def _wait_for_device(max_wait_s: int = 900) -> bool:
 
     The dev chip enumerates fine while wedged (no execution returns for
     minutes after a client dies mid-operation — docs/performance.md
-    "Measurement honesty").  Probe it in a SUBPROCESS with a timeout so
-    a hung probe can't take this process down, and retry until the chip
-    answers or ``max_wait_s`` elapses.  Returns readiness.
+    "Measurement honesty").  ONE patient subprocess probe: a wedged
+    backend parks the device_put and completes the moment the chip
+    recovers.  Repeated short-timeout probes are counterproductive —
+    each kill is itself the kind of event that wedges the backend, and
+    concurrent clients block each other — so this must run BEFORE the
+    calling process touches the backend, and it never kills the probe
+    early.  Returns readiness.
     """
     import subprocess
 
     probe = (
-        "import numpy as np, jax, jax.numpy as jnp;"
+        "import time, numpy as np, jax, jax.numpy as jnp;"
+        "t0 = time.time();"
         "x = jax.device_put(np.ones((128,128), np.float32));"
-        "print(float(jnp.sum(x)))"
+        "s = float(jnp.sum(x));"
+        "print(f'device answered after {time.time()-t0:.0f}s: {s}')"
     )
-    deadline = time.time() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True, timeout=75
-            )
-            if r.returncode == 0:
-                if attempt > 1:
-                    log(f"device answered on probe {attempt}")
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() > deadline:
-            log(f"device still not executing after {max_wait_s}s; proceeding anyway")
-            return False
-        log(f"device probe {attempt} hung/failed; retrying (wedged-chip recovery)")
-        time.sleep(60)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True,
+            text=True,
+            timeout=max_wait_s,
+        )
+        if r.returncode == 0:
+            log(r.stdout.strip().splitlines()[-1])
+            return True
+        log(f"device probe failed: {r.stderr[-200:]}")
+        return False
+    except subprocess.TimeoutExpired:
+        log(f"device still not executing after {max_wait_s}s; proceeding anyway")
+        return False
 
 
 def _start_watchdog(seconds: int, configs: list, details: dict):
@@ -563,9 +565,11 @@ def main():
         # must happen before any backend use (the environment's TPU plugin
         # force-overrides JAX_PLATFORMS, so env vars are not enough)
         jax.config.update("jax_platforms", args.platform)
-    log(f"devices: {jax.devices()}")
     if args.platform != "cpu" and not args.quick:
+        # BEFORE jax.devices(): the probe subprocess and this process
+        # must not hold backend sessions concurrently
         _wait_for_device()
+    log(f"devices: {jax.devices()}")
 
     configs: list = []
     details: dict = {}
