@@ -370,9 +370,11 @@ def run_species_config(
     )
     # fairness cross-check: the SAME native C++ baseline on the
     # framework's packed layout — both ratios are recorded so the
-    # headline can be checked against the stronger of the two
+    # headline can be checked against the stronger of the two.  Same
+    # repeat count as the reference layout: this median feeds the
+    # conservative vs_baseline and the shared host swings ~2x
     cpu_packed_rps, _, packed_rates = bench_cpu_baseline(
-        index, reads, sample=max(256, baseline_sample // 2), repeats=5
+        index, reads, sample=max(256, baseline_sample // 2), repeats=baseline_repeats
     )
     log(f"cpu native on packed layout: {cpu_packed_rps:,.0f} reads/s")
     strongest_cpu = max(cpu_rps, cpu_packed_rps)
