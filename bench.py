@@ -421,7 +421,7 @@ def run_species_config(
     return config, details
 
 
-def run_mlst_config(quick: bool):
+def run_mlst_config():
     """BASELINE config 3 via tools/bench_mlst.py (own process: separate
 
     model registry tmpdir + device program cache)."""
@@ -431,8 +431,6 @@ def run_mlst_config(quick: bool):
         sys.executable,
         str(Path(__file__).resolve().parent / "tools" / "bench_mlst.py"),
     ]
-    if quick:
-        cmd += ["--genomes", "4", "--alleles", "10"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
         if r.returncode != 0:
@@ -630,14 +628,14 @@ def main():
         details["species_40class_reference_scale"] = refscale_details
 
         # ---- config 3: MLST strain typing ----------------------------
-        mlst, mlst_details = run_mlst_config(args.quick)
+        mlst, mlst_details = run_mlst_config()
         configs.append(mlst)
         details["mlst"] = mlst_details
 
     # multi-process scaling efficiency (CPU mesh, core-pinned; the
     # 2-host proxy available in this environment — tools/bench_scaling.py)
     scaling = {}
-    if not args.quick:
+    if not (args.quick or args.headline_only):
         import subprocess
 
         try:

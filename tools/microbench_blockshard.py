@@ -76,6 +76,11 @@ def main():
             fn = jax.jit(lambda t, r: qb(t, r, index.num_blocks).sum())
             fargs = (table_dev, jnp.asarray(reads))
         else:
+            # keep the window fully inside the table: when num_blocks
+            # is not divisible by n_blk a mid-table offset could slice
+            # short and the clamped gather would silently measure a
+            # smaller window
+            offset = min(offset, index.num_blocks - local_blocks)
             table_dev = jnp.asarray(table3[offset : offset + local_blocks])
             fn = jax.jit(
                 lambda t, r, o: qb(t, r, index.num_blocks, o).sum()

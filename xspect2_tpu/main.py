@@ -157,6 +157,9 @@ def _ncbi_quality_options(fn):
 
 def _require_choice(value, choices, what, context, prompt_text):
     """Return a validated choice, prompting when no value was given."""
+    if not choices:
+        # prompting against an empty Choice would re-prompt forever
+        raise click.BadParameter(f"No {what.lower()}s available{context}.")
     if value is None:
         return click.prompt(prompt_text, type=click.Choice(choices))
     if value not in choices:

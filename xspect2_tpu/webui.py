@@ -158,7 +158,11 @@ async function loadModels() {
 $('cType').onchange = () => {
   $('cModel').innerHTML = (MODELS[$('cType').value] || []).map(m => `<option>${esc(m)}</option>`).join('');
 };
-const MODELS_READY = loadModels();
+// route() must run even when the model list fails to load: a deep
+// link like #/result/<uuid> only needs the result endpoint
+const MODELS_READY = loadModels().catch(() => {
+  $('mList').textContent = 'Failed to load models.';
+});
 MODELS_READY.then(route);
 
 // ------------------------------------------------------------ model detail
