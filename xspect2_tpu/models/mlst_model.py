@@ -198,17 +198,34 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
         if not self.indices:
             raise ValueError("The model has not been trained yet")
         use_split = len(sequence) >= SPLIT_MIN_LENGTH
+        # loci whose chunk geometry coincides (equal avg allele length
+        # -> identical splitter output; equal engine chunk) share ONE
+        # prepared batch, whose packed device wire is cached on the
+        # batch — the host->device transfer of the same genome pieces
+        # is paid once instead of once per locus (the dominant
+        # per-genome cost through a high-latency link)
+        from xspect2_tpu.ops.query import prepare_batch
+
+        batch_cache: dict[tuple, tuple] = {}
         dispatched = []
         for li, engine in enumerate(self.engines):
-            if use_split:
-                pieces = self.sequence_splitter(
-                    sequence, self.avg_locus_bp_size[li]
+            size = self.avg_locus_bp_size[li] if use_split else None
+            key = (size, engine.chunk)
+            if key not in batch_cache:
+                if use_split:
+                    pieces = self.sequence_splitter(sequence, size)
+                else:
+                    pieces = [sequence]
+                records = [
+                    (f"piece{i}", dna.encode(p)) for i, p in enumerate(pieces)
+                ]
+                batch_cache[key] = (
+                    prepare_batch(records, self.k, step=step, chunk=engine.chunk),
+                    len(records),
                 )
-            else:
-                pieces = [sequence]
-            records = [(f"piece{i}", dna.encode(p)) for i, p in enumerate(pieces)]
-            out = engine.count_hits_records(records, step=step, block=False)
-            dispatched.append((out, len(records)))
+            batch, n_pieces = batch_cache[key]
+            out = engine.count_hits(batch, block=False)
+            dispatched.append((out, n_pieces))
         return dispatched
 
     @staticmethod

@@ -84,6 +84,14 @@ class PreparedBatch:
     # sparse-sampling step baked into ``valid``; the compact wire
     # re-derives the phase mask on device and needs it explicitly
     step: int = 1
+    # lazily cached device-resident compact wire: engines with equal
+    # chunk geometry querying the SAME batch (e.g. every MLST locus of
+    # one genome) share one host pack + host->device transfer instead
+    # of paying it per engine (the transfer dominates through the
+    # 25 ms-floor dev tunnel)
+    _device_wire: dict = field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @property
     def num_records(self) -> int:
@@ -829,27 +837,33 @@ class DeviceQueryEngine:
             fields_per_word=idx.fields_per_word,
         )
         if wire == "packed":
-            from xspect2_tpu import native
+            dev = batch._device_wire.get(max_records)
+            if dev is None:
+                from xspect2_tpu import native
 
-            with profiling.phase("query.pack"):
-                packed, _bad = native.pack_2bit(batch.codes[None, :])
-                packed = packed.reshape(-1)
-                n_real = int(batch.offsets[-1])
-                # only real in-record invalid bases need patching: padded
-                # regions are never read by a valid window (validity is
-                # derived from the offsets on device)
-                bad_pos = np.nonzero(
-                    batch.codes[:n_real].astype(np.uint8) > 3
-                )[0].astype(np.int32)
-                (bad_pos,) = _pad_patch_list((bad_pos,), (len(batch.codes),))
-                offsets = np.full(max_records + 1, n_real, dtype=np.int32)
-                offsets[: len(batch.offsets)] = batch.offsets
-            with profiling.phase("query.dispatch"):
-                out = query_hits_packed_batch_device(
-                    self.table,
+                with profiling.phase("query.pack"):
+                    packed, _bad = native.pack_2bit(batch.codes[None, :])
+                    packed = packed.reshape(-1)
+                    n_real = int(batch.offsets[-1])
+                    # only real in-record invalid bases need patching:
+                    # padded regions are never read by a valid window
+                    # (validity is derived from the offsets on device)
+                    bad_pos = np.nonzero(
+                        batch.codes[:n_real].astype(np.uint8) > 3
+                    )[0].astype(np.int32)
+                    (bad_pos,) = _pad_patch_list((bad_pos,), (len(batch.codes),))
+                    offsets = np.full(max_records + 1, n_real, dtype=np.int32)
+                    offsets[: len(batch.offsets)] = batch.offsets
+                dev = (
                     jnp.asarray(packed),
                     jnp.asarray(bad_pos),
                     jnp.asarray(offsets),
+                )
+                batch._device_wire[max_records] = dev
+            with profiling.phase("query.dispatch"):
+                out = query_hits_packed_batch_device(
+                    self.table,
+                    *dev,
                     step=batch.step,
                     **geom,
                 )
