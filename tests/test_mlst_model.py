@@ -143,3 +143,42 @@ def test_save_load_and_predict(tmp_path, scheme_dir):
     assert "test" in d["Results"]  # "<unknown id>" renamed to "test"
     strain = d["Results"]["test"][0]["Strain type"]
     assert next(iter(strain["Oxf_gltA"])) == "Allele_ID_1"
+
+
+def test_loci_share_one_prepared_batch(tmp_path, scheme_dir, rng):
+    """Loci with identical chunk geometry reuse ONE prepared batch, and
+    its packed device wire is transferred once (PreparedBatch._device_wire
+    cache): the per-locus host->device transfer dominated multi-locus
+    typing on high-latency links."""
+    scheme, _ = scheme_dir
+    model = _make_model(tmp_path)
+    model.base_path.mkdir(parents=True, exist_ok=True)
+    model.fit(scheme)
+
+    genome = random_dna(rng, 30_000)  # >= split threshold
+    dispatched = model._dispatch_loci(genome, step=1)
+    assert len(dispatched) == 2
+    # equal avg allele lengths + equal engine chunks => one shared batch
+    sizes = set(model.avg_locus_bp_size)
+    chunks = {e.chunk for e in model.engines}
+    assert len(sizes) == 1 and len(chunks) == 1
+    # direct check: prepare one batch, query it through both engines and
+    # confirm the device wire is computed once
+    from xspect2_tpu.core import dna as dna_mod
+    from xspect2_tpu.ops import query as q
+
+    pieces = model.sequence_splitter(genome, model.avg_locus_bp_size[0])
+    records = [(f"p{i}", dna_mod.encode(p)) for i, p in enumerate(pieces)]
+    batch = q.prepare_batch(records, model.k, step=1, chunk=model.engines[0].chunk)
+    assert batch._device_wire == {}
+    out0 = model.engines[0].count_hits(batch, block=False)
+    assert len(batch._device_wire) == 1
+    wire_before = next(iter(batch._device_wire.values()))
+    out1 = model.engines[1].count_hits(batch, block=False)
+    assert next(iter(batch._device_wire.values())) is wire_before
+    # and the shared-wire results equal fresh-batch results exactly
+    fresh = q.prepare_batch(records, model.k, step=1, chunk=model.engines[1].chunk)
+    ref = model.engines[1].count_hits(fresh, block=True)
+    np.testing.assert_array_equal(
+        np.asarray(out1)[: batch.num_records].astype(np.int64), ref
+    )
