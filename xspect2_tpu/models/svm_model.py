@@ -195,22 +195,26 @@ class ProbabilisticFilterSVMModel(ProbabilisticFilterModel):
 
     # ------------------------------------------------------------------ persistence
 
+    # metadata key -> constructor kwarg (the JSON schema is reference
+    # contract; "C" is the one key whose casing differs from the kwarg)
+    _METADATA_KWARGS = {
+        "k": "k",
+        "model_display_name": "model_display_name",
+        "author": "author",
+        "author_email": "author_email",
+        "model_type": "model_type",
+        "kernel": "kernel",
+        "C": "c",
+        "fpr": "fpr",
+        "num_hashes": "num_hashes",
+        "training_accessions": "training_accessions",
+        "svm_accessions": "svm_accessions",
+    }
+
     @classmethod
     def _from_metadata(cls, model_json: dict, base_path: Path):
-        return cls(
-            model_json["k"],
-            model_json["model_display_name"],
-            model_json["author"],
-            model_json["author_email"],
-            model_json["model_type"],
-            base_path,
-            model_json["kernel"],
-            model_json["C"],
-            fpr=model_json["fpr"],
-            num_hashes=model_json["num_hashes"],
-            training_accessions=model_json["training_accessions"],
-            svm_accessions=model_json["svm_accessions"],
-        )
+        kwargs = {kw: model_json[key] for key, kw in cls._METADATA_KWARGS.items()}
+        return cls(base_path=base_path, **kwargs)
 
     @classmethod
     def load(cls, path: Path) -> "ProbabilisticFilterSVMModel":
