@@ -227,3 +227,16 @@ def test_pick_num_hashes_respects_fields_override():
         fields_per_word=1,
     )
     assert idx.num_hashes == h_unpacked
+
+
+def test_bench_trimmed_median_guards_outliers():
+    """bench.py's CPU-baseline denominator: outlier-trimmed median."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import trimmed_median
+
+    # one stall sample and one burst sample must not move the median
+    assert trimmed_median([100.0] * 18 + [1.0, 10_000.0]) == 100.0
+    assert trimmed_median([1.0, 2.0, 3.0]) == 2.0
