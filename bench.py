@@ -850,7 +850,7 @@ def main():
                 ],
                 capture_output=True,
                 text=True,
-                timeout=1080,
+                timeout=1260,
             )
             if r.returncode == 0:
                 scaling = json.loads(r.stdout.strip().splitlines()[-1])
@@ -930,6 +930,16 @@ def main():
     if e2e:
         summary["e2e_vs_device"] = e2e
         summary["wire_mbps"] = wire
+    # the headline vs_baseline keys to the STRONGEST cpu layout; the
+    # per-layout ratios say how much of any shortfall is that policy
+    summary["headline_ratios"] = {
+        k: headline_details.get(v)
+        for k, v in (
+            ("vs_ref_layout", "vs_ref_layout_baseline"),
+            ("vs_packed_layout", "vs_packed_layout_baseline"),
+            ("vs_python_path", "vs_reference_style_path"),
+        )
+    }
     if isinstance(headline.get("vs_baseline"), (int, float)) and headline[
         "vs_baseline"
     ] < 100:
