@@ -70,6 +70,7 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
         self.avg_locus_bp_size: list[int] = []
         self.indices: list[BlockedBitSlicedIndex] = []
         self._engines: list[DeviceQueryEngine] | None = None
+        self._fused_queries: dict[tuple, object] = {}
 
     def to_dict(self) -> dict:
         return super().to_dict() | {
@@ -133,6 +134,7 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
             index.save(self.get_locus_index_path(locus))
             self.indices.append(index)
         self._engines = None
+        self._fused_queries.clear()
 
     # ------------------------------------------------------------------ persistence
 
@@ -202,16 +204,24 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
         # -> identical splitter output; equal engine chunk) share ONE
         # prepared batch, whose packed device wire is cached on the
         # batch — the host->device transfer of the same genome pieces
-        # is paid once instead of once per locus (the dominant
-        # per-genome cost through a high-latency link)
-        from xspect2_tpu.ops.query import prepare_batch
+        # is paid once instead of once per locus, and ALL the group's
+        # loci are queried by ONE fused device program (each dispatch
+        # through the tunneled dev runtime costs ~25 ms of RPC latency;
+        # 7 per-locus programs paid 7 of them per genome — fusing +
+        # depth-2 record pipelining measured 2.62 -> 3.36 genomes/s on
+        # the 7-locus bench)
+        from xspect2_tpu.ops.query import (
+            _next_pow2,
+            make_multi_packed_query,
+            packed_wire_for_batch,
+            prepare_batch,
+        )
 
-        batch_cache: dict[tuple, tuple] = {}
-        dispatched = []
+        groups: dict[tuple, dict] = {}
         for li, engine in enumerate(self.engines):
             size = self.avg_locus_bp_size[li] if use_split else None
             key = (size, engine.chunk)
-            if key not in batch_cache:
+            if key not in groups:
                 if use_split:
                     pieces = self.sequence_splitter(sequence, size)
                 else:
@@ -219,13 +229,56 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
                 records = [
                     (f"piece{i}", dna.encode(p)) for i, p in enumerate(pieces)
                 ]
-                batch_cache[key] = (
-                    prepare_batch(records, self.k, step=step, chunk=engine.chunk),
-                    len(records),
+                groups[key] = {
+                    "batch": prepare_batch(
+                        records, self.k, step=step, chunk=engine.chunk
+                    ),
+                    "n_pieces": len(records),
+                    "loci": [],
+                }
+            groups[key]["loci"].append(li)
+
+        dispatched: list[tuple | None] = [None] * len(self.engines)
+        for group in groups.values():
+            batch, n_pieces = group["batch"], group["n_pieces"]
+            loci = group["loci"]
+            if batch.num_records == 0:
+                for li in loci:
+                    out = self.engines[li].count_hits(batch, block=False)
+                    dispatched[li] = (out, n_pieces)
+                continue
+            max_records = _next_pow2(max(8, batch.num_records))
+            num_chunks = batch.num_positions // self.engines[loci[0]].chunk
+            geoms = tuple(
+                tuple(
+                    sorted(
+                        dict(
+                            num_blocks=int(self.indices[li].num_blocks),
+                            k=self.k,
+                            num_hashes=self.indices[li].num_hashes,
+                            rows_per_block=self.indices[li].rows_per_block,
+                            class_words=self.indices[li].class_words,
+                            num_classes=self.indices[li].num_classes,
+                            chunk=self.engines[li].chunk,
+                            num_chunks=num_chunks,
+                            max_records=max_records,
+                            fields_per_word=self.indices[li].fields_per_word,
+                        ).items()
+                    )
                 )
-            batch, n_pieces = batch_cache[key]
-            out = engine.count_hits(batch, block=False)
-            dispatched.append((out, n_pieces))
+                for li in loci
+            )
+            fused_key = (geoms, step)
+            fused = self._fused_queries.get(fused_key)
+            if fused is None:
+                fused = make_multi_packed_query(geoms, step)
+                self._fused_queries[fused_key] = fused
+            wire = packed_wire_for_batch(batch, max_records)
+            outs = fused(
+                tuple(self.engines[li].table for li in loci), *wire
+            )
+            for li, out in zip(loci, outs):
+                dispatched[li] = (out, n_pieces)
         return dispatched
 
     @staticmethod
@@ -359,15 +412,31 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
             )
 
         if hasattr(sequence_input, "__iter__"):
-            # one record per dispatch+fetch round: cross-record fetch
-            # batching was measured SLOWER on the dev chip (the fetch
-            # saved ~25 ms/record but the round's wide concatenate
-            # compiles per distinct record-count and the queued
-            # transfers congest the tunneled link) — the per-record
-            # loop is the measured-fastest multi-genome path
+            # per-record programs, depth-2 pipelined: cross-record fetch
+            # BATCHING was measured SLOWER on the dev chip (the wide
+            # concatenate compiles per distinct record-count and queued
+            # transfers congest the tunneled link), but keeping one
+            # record in flight overlaps record N's device execution +
+            # fetch with record N+1's host-side split/pack/transfer
+            # (bounded depth: unbounded queues congest the link,
+            # docs/performance.md)
             hits = {}
+            inflight: list[tuple] = []
+
+            def drain_one():
+                rid, seq, dispatched = inflight.pop(0)
+                counts = self._fetch_counts(dispatched)
+                hits[rid] = self._assemble_hits(seq, counts, limit)
+
             for record in sequence_input:
-                hits[record.id] = self.calculate_hits(record.seq, step, limit)
+                seq = record.seq
+                inflight.append(
+                    (record.id, seq, self._dispatch_loci(seq, step))
+                )
+                while len(inflight) >= 2:
+                    drain_one()
+            while inflight:
+                drain_one()
             return MlstResult(self.model_display_name, step, hits, None)
 
         raise ValueError(

@@ -433,26 +433,31 @@ def _accumulate_segments(
 ):
     """Per-record hit counts from AND words: [chunk, cw] -> int32 [C, max_records].
 
-    Vectorized bit unpack (O(1) program ops in the class count) feeding
-    a vmapped sorted segment-sum; every materialized buffer keeps a wide
-    minor dim (chunk / max_records), never the small class dim (TPU pads
-    minor axes to 128 lanes).
+    Vectorized bit unpack (O(1) program ops in the class count), then
+    the per-record reduction as ONE MXU matmul: ``bits[C, chunk] @
+    onehot[chunk, R]`` in bf16 with f32 accumulation.  Every term is
+    0/1 (exact in bf16) and every cell sums at most ``chunk`` <= 2^24
+    of them, so the f32 accumulator is exact.  Replaces a vmapped
+    sorted segment-sum over C rows: A/B at the MLST geometry
+    ([16384, 32] words -> [1000, 512] counts) measured both ~0.05
+    ms/call on v5e — the matmul is the simpler program and scales
+    with the MXU rather than the scatter unit at wider class counts;
+    bit-exact against the segment-sum path.
     """
     n_shift = 32 if class_words > 1 else num_classes
     shifts = jnp.arange(n_shift, dtype=jnp.uint32)
     a_t = anded.T  # [cw, chunk]
     bits = ((a_t[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)).astype(
-        jnp.int32
+        jnp.bfloat16
     )
     bits = bits.reshape(class_words * n_shift, -1)[:num_classes]  # [C, chunk]
-    return jax.vmap(
-        lambda p: jax.ops.segment_sum(
-            p,
-            rec_chunk,
-            num_segments=max_records,
-            indices_are_sorted=True,
-        )
-    )(bits)  # [C, max_records]
+    onehot = (
+        rec_chunk[:, None]
+        == jnp.arange(max_records, dtype=rec_chunk.dtype)[None, :]
+    ).astype(jnp.bfloat16)  # [chunk, R]
+    return jnp.matmul(
+        bits, onehot, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # [C, max_records]
 
 
 def make_query_body(
@@ -779,6 +784,62 @@ def _pad_patch_list(arrays, sentinels):
     return tuple(out)
 
 
+def packed_wire_for_batch(batch, max_records: int):
+    """Compact device wire for a prepared batch (cached on the batch).
+
+    2-bit packed codes + invalid-base patch list + padded record
+    offsets; independent of any particular index, so batches shared
+    across several indices (the MLST per-locus case) transfer once.
+    """
+    dev = batch._device_wire.get(max_records)
+    if dev is None:
+        from xspect2_tpu import native
+
+        with profiling.phase("query.pack"):
+            packed, _bad = native.pack_2bit(batch.codes[None, :])
+            packed = packed.reshape(-1)
+            n_real = int(batch.offsets[-1])
+            # only real in-record invalid bases need patching:
+            # padded regions are never read by a valid window
+            # (validity is derived from the offsets on device)
+            bad_pos = np.nonzero(batch.codes[:n_real].astype(np.uint8) > 3)[
+                0
+            ].astype(np.int32)
+            (bad_pos,) = _pad_patch_list((bad_pos,), (len(batch.codes),))
+            offsets = np.full(max_records + 1, n_real, dtype=np.int32)
+            offsets[: len(batch.offsets)] = batch.offsets
+        dev = (
+            jnp.asarray(packed),
+            jnp.asarray(bad_pos),
+            jnp.asarray(offsets),
+        )
+        batch._device_wire[max_records] = dev
+    return dev
+
+
+def make_multi_packed_query(geoms: tuple, step: int):
+    """ONE jitted program computing per-record hits for SEVERAL indices
+    sharing one prepared batch.
+
+    Each dispatch through the tunneled dev runtime costs ~25 ms of RPC
+    latency, so querying an MLST genome against 7 per-locus indices as
+    7 programs pays 7 round trips; this fuses them into one program
+    (one dispatch, one fetch).  ``geoms`` is a tuple of per-index
+    geometry item-tuples (the static kwargs of
+    :func:`query_hits_packed_batch_device`).
+    """
+
+    def fn(tables, packed, bad_pos, offsets):
+        return tuple(
+            query_hits_packed_batch_device(
+                t, packed, bad_pos, offsets, step=step, **dict(g)
+            )
+            for t, g in zip(tables, geoms)
+        )
+
+    return jax.jit(fn)
+
+
 class DeviceQueryEngine:
     """Holds a device-resident index table and runs batched queries."""
 
@@ -837,29 +898,7 @@ class DeviceQueryEngine:
             fields_per_word=idx.fields_per_word,
         )
         if wire == "packed":
-            dev = batch._device_wire.get(max_records)
-            if dev is None:
-                from xspect2_tpu import native
-
-                with profiling.phase("query.pack"):
-                    packed, _bad = native.pack_2bit(batch.codes[None, :])
-                    packed = packed.reshape(-1)
-                    n_real = int(batch.offsets[-1])
-                    # only real in-record invalid bases need patching:
-                    # padded regions are never read by a valid window
-                    # (validity is derived from the offsets on device)
-                    bad_pos = np.nonzero(
-                        batch.codes[:n_real].astype(np.uint8) > 3
-                    )[0].astype(np.int32)
-                    (bad_pos,) = _pad_patch_list((bad_pos,), (len(batch.codes),))
-                    offsets = np.full(max_records + 1, n_real, dtype=np.int32)
-                    offsets[: len(batch.offsets)] = batch.offsets
-                dev = (
-                    jnp.asarray(packed),
-                    jnp.asarray(bad_pos),
-                    jnp.asarray(offsets),
-                )
-                batch._device_wire[max_records] = dev
+            dev = packed_wire_for_batch(batch, max_records)
             with profiling.phase("query.dispatch"):
                 out = query_hits_packed_batch_device(
                     self.table,
