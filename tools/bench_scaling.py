@@ -74,7 +74,12 @@ WORKER = textwrap.dedent(
     # feeds only its own reads) + local-rows output (each process keeps
     # its own data-shard results)
     clf = ShardedClassifier(idx, mesh, chunk=2048, replicate_out=False)
-    rpc = 512
+    # 256 reads/chunk measured fastest for BOTH the 1-device and the
+    # 8-virtual-device program on the 2-core host (the 8 per-device
+    # programs interleave on the cores at fine grain; coarse 2048-read
+    # chunks serialize them and read as phantom partition overhead:
+    # rpc=512 ratio 0.85-0.89, rpc=2048 0.78, rpc=256 0.95-0.99)
+    rpc = 256
     pid = int(os.environ.get("XS_PID", 0))
     n_local = n // nproc
     mine = reads[pid * n_local : (pid + 1) * n_local]
