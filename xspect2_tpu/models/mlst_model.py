@@ -204,12 +204,13 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
         # -> identical splitter output; equal engine chunk) share ONE
         # prepared batch, whose packed device wire is cached on the
         # batch — the host->device transfer of the same genome pieces
-        # is paid once instead of once per locus, and ALL the group's
-        # loci are queried by ONE fused device program (each dispatch
-        # through the tunneled dev runtime costs ~25 ms of RPC latency;
-        # 7 per-locus programs paid 7 of them per genome — fusing +
-        # depth-2 record pipelining measured 2.62 -> 3.36 genomes/s on
-        # the 7-locus bench)
+        # is paid once instead of once per locus, ALL the group's loci
+        # are queried by ONE fused device program (7 per-locus programs
+        # paid 7 tunnel dispatches per genome), and the chunk-score
+        # reduction runs ON DEVICE so the fetch is [C] totals per locus
+        # instead of [max_records, C] raw counts — at 7 loci x 1000
+        # alleles x 256 slots the raw counts were 7.2 MB/genome, ~220
+        # ms of output transfer through the ~33 MB/s tunnel
         from xspect2_tpu.ops.query import (
             _next_pow2,
             make_multi_packed_query,
@@ -268,10 +269,18 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
                 )
                 for li in loci
             )
-            fused_key = (geoms, step)
+            reduce_mode = (
+                "thresholded_totals" if use_split else "first_record"
+            )
+            fused_key = (geoms, step, reduce_mode)
             fused = self._fused_queries.get(fused_key)
             if fused is None:
-                fused = make_multi_packed_query(geoms, step)
+                fused = make_multi_packed_query(
+                    geoms,
+                    step,
+                    reduce_mode=reduce_mode,
+                    threshold=CHUNK_SCORE_THRESHOLD,
+                )
                 self._fused_queries[fused_key] = fused
             wire = packed_wire_for_batch(batch, max_records)
             outs = fused(
@@ -290,12 +299,14 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
             jnp.concatenate([o.reshape(-1) for o, _ in dispatched])
         )
         offsets = np.cumsum([0] + [int(np.prod(o.shape)) for o, _ in dispatched])
-        return [
-            flat[offsets[i] : offsets[i + 1]]
-            .reshape(o.shape)[:n_pieces]
-            .astype(np.int64)
-            for i, (o, n_pieces) in enumerate(dispatched)
-        ]
+        out = []
+        for i, (o, n_pieces) in enumerate(dispatched):
+            c = flat[offsets[i] : offsets[i + 1]].reshape(o.shape)
+            if c.ndim == 2:
+                # raw per-record counts: drop padded record slots
+                c = c[:n_pieces]
+            out.append(c.astype(np.int64))
+        return out
 
     def calculate_hits(
         self,
@@ -331,9 +342,16 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
             names = self.indices[li].class_names
             counts = counts_per_locus[li]
             if use_split:
-                # per-chunk threshold, then sum over chunks
-                counts = np.where(counts > CHUNK_SCORE_THRESHOLD, counts, 0)
-                totals = counts.sum(axis=0)
+                if counts.ndim == 2:
+                    # raw per-piece counts (engine fallback path):
+                    # per-chunk threshold, then sum over chunks
+                    counts = np.where(
+                        counts > CHUNK_SCORE_THRESHOLD, counts, 0
+                    )
+                    totals = counts.sum(axis=0)
+                else:
+                    # already reduced on device (thresholded_totals)
+                    totals = counts
                 order = sorted(
                     (i for i in range(len(names)) if totals[i] > 0),
                     key=lambda i: (-int(totals[i]), names[i]),
@@ -351,7 +369,8 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
                         first_key: sorted_counts[first_key]
                     }
             else:
-                counts = counts[0]
+                if counts.ndim == 2:
+                    counts = counts[0]
                 order = sorted(
                     range(len(names)), key=lambda i: (-int(counts[i]), names[i])
                 )

@@ -817,7 +817,9 @@ def packed_wire_for_batch(batch, max_records: int):
     return dev
 
 
-def make_multi_packed_query(geoms: tuple, step: int):
+def make_multi_packed_query(
+    geoms: tuple, step: int, reduce_mode: str | None = None, threshold: int = 0
+):
     """ONE jitted program computing per-record hits for SEVERAL indices
     sharing one prepared batch.
 
@@ -827,15 +829,37 @@ def make_multi_packed_query(geoms: tuple, step: int):
     (one dispatch, one fetch).  ``geoms`` is a tuple of per-index
     geometry item-tuples (the static kwargs of
     :func:`query_hits_packed_batch_device`).
+
+    ``reduce_mode`` moves the host post-processing reduction onto the
+    device so the fetch shrinks from [max_records, C] int32 per index
+    to [C] — at the MLST scale (7 loci x 1000 alleles x 256 record
+    slots) the full counts are 7.2 MB/genome, which through a ~33 MB/s
+    tunnel was ~220 ms of pure output transfer (the measured 270
+    ms/genome "device time" was all fetch):
+
+    - ``"thresholded_totals"``: per-record counts below ``threshold``
+      are zeroed, the rest summed over records (the >=10 kb MLST
+      chunk-score rule, models/mlst_model.py).  Padded record slots
+      count zero hits, so the sum over all slots equals the sum over
+      real pieces.
+    - ``"first_record"``: row 0 only (the short-input single-piece
+      path, which reports raw unthresholded counts).
     """
 
     def fn(tables, packed, bad_pos, offsets):
-        return tuple(
-            query_hits_packed_batch_device(
+        outs = []
+        for t, g in zip(tables, geoms):
+            h = query_hits_packed_batch_device(
                 t, packed, bad_pos, offsets, step=step, **dict(g)
             )
-            for t, g in zip(tables, geoms)
-        )
+            if reduce_mode == "thresholded_totals":
+                h = jnp.where(h > threshold, h, 0).sum(
+                    axis=0, dtype=jnp.int32
+                )
+            elif reduce_mode == "first_record":
+                h = h[0]
+            outs.append(h)
+        return tuple(outs)
 
     return jax.jit(fn)
 
