@@ -691,10 +691,24 @@ _QUERY_STATICS = (
 )
 
 
+def _compact_count_dtype(geom):
+    """Smallest dtype that holds a per-read count: the device->host
+    fetch of [N, C] counts rides the slow link, and per-read counts are
+    bounded by ceil(nk/step) (130 at the 150 bp / k=21 geometry), so
+    uint8 carries the same information in 1/4 the wire bytes."""
+    max_count = -(-(geom["read_len"] - geom["k"] + 1) // geom["step"])
+    if max_count <= 0xFF:
+        return jnp.uint8
+    if max_count <= 0xFFFF:
+        return jnp.uint16
+    return jnp.int32
+
+
 @partial(jax.jit, static_argnames=_QUERY_STATICS)
 def query_reads_device(table2d, reads, *, num_blocks: int, **geom):
     """Raw-wire entry: uint8 code matrix [N, L] (>3 = invalid) -> [N, C]."""
-    return make_reads_query_body(**geom)(table2d, reads, num_blocks)
+    out = make_reads_query_body(**geom)(table2d, reads, num_blocks)
+    return out.astype(_compact_count_dtype(geom))
 
 
 @partial(jax.jit, static_argnames=_QUERY_STATICS)
@@ -727,7 +741,8 @@ def query_packed_reads_device(
     # materialization fence: keeps the scan body byte-identical to the
     # raw-wire path (the [N, L] codes array is tiny HBM traffic)
     codes = lax.optimization_barrier(codes)
-    return make_reads_query_body(**geom)(table2d, codes, num_blocks)
+    out = make_reads_query_body(**geom)(table2d, codes, num_blocks)
+    return out.astype(_compact_count_dtype(geom))
 
 
 def pack_reads_wire(reads: np.ndarray, k: int, n_pad: int):
