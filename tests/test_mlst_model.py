@@ -182,3 +182,50 @@ def test_loci_share_one_prepared_batch(tmp_path, scheme_dir, rng):
     np.testing.assert_array_equal(
         np.asarray(out1)[: batch.num_records].astype(np.int64), ref
     )
+
+
+def test_device_reduction_matches_host_reduction(tmp_path, scheme_dir, rng):
+    """The fused program's on-device chunk-score reduction is exactly the
+    host rule it replaced: zero per-piece counts <= threshold, sum over
+    pieces (split path) / raw first-record counts (short path)."""
+    from xspect2_tpu.models import mlst_model as mm
+
+    scheme, _ = scheme_dir
+    model = _make_model(tmp_path)
+    model.base_path.mkdir(parents=True, exist_ok=True)
+    model.fit(scheme)
+
+    genome = random_dna(rng, 30_000)  # split path
+    dispatched = model._dispatch_loci(genome, step=1)
+    reduced = model._fetch_counts(dispatched)
+    for li, totals in enumerate(reduced):
+        assert totals.ndim == 1  # device-reduced [C]
+        # raw per-piece counts via the engine path, reduced on host
+        pieces = model.sequence_splitter(genome, model.avg_locus_bp_size[li])
+        from xspect2_tpu.core import dna as dna_mod
+        from xspect2_tpu.ops import query as q
+
+        records = [(f"p{i}", dna_mod.encode(p)) for i, p in enumerate(pieces)]
+        batch = q.prepare_batch(
+            records, model.k, step=1, chunk=model.engines[li].chunk
+        )
+        raw = model.engines[li].count_hits(batch)  # [pieces, C] int64
+        want = np.where(raw > mm.CHUNK_SCORE_THRESHOLD, raw, 0).sum(axis=0)
+        np.testing.assert_array_equal(totals, want)
+
+    short = random_dna(rng, 900)  # single-piece path: raw row 0
+    dispatched = model._dispatch_loci(short, step=1)
+    reduced = model._fetch_counts(dispatched)
+    for li, row in enumerate(reduced):
+        assert row.ndim == 1
+        from xspect2_tpu.core import dna as dna_mod
+        from xspect2_tpu.ops import query as q
+
+        batch = q.prepare_batch(
+            [("p0", dna_mod.encode(short))],
+            model.k,
+            step=1,
+            chunk=model.engines[li].chunk,
+        )
+        raw = model.engines[li].count_hits(batch)
+        np.testing.assert_array_equal(row, raw[0])
