@@ -749,7 +749,29 @@ def main():
         default=2700,
         help="emit whatever finished and exit after this long (0 = off)",
     )
+    ap.add_argument(
+        "--one-config-json",
+        default=None,
+        help=(
+            "internal: run ONE species config (kwargs as JSON) in this "
+            "process and print its result as the final stdout line"
+        ),
+    )
     args = ap.parse_args()
+
+    if args.one_config_json:
+        # child mode: own device gate + one config, so a wedged-chip
+        # window costs one attempt instead of the whole artifact
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.platform != "cpu":
+            _wait_for_device()
+        kwargs = json.loads(args.one_config_json)
+        config, details = run_species_config(**kwargs)
+        print("ONE_CONFIG_RESULT:" + json.dumps({"config": config, "details": details}), flush=True)
+        return
 
     if args.quick:
         args.classes, args.genome_mb = 4, 0.5
@@ -763,15 +785,11 @@ def main():
 
     import jax
 
-    if args.platform:
-        # must happen before any backend use (the environment's TPU plugin
-        # force-overrides JAX_PLATFORMS, so env vars are not enough)
-        jax.config.update("jax_platforms", args.platform)
-    if args.platform != "cpu" and not args.quick:
-        # BEFORE jax.devices(): the probe subprocess and this process
-        # must not hold backend sessions concurrently
-        _wait_for_device()
-    log(f"devices: {jax.devices()}")
+    if args.quick:
+        # CPU smoke test: in-process, no subprocess machinery
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        log(f"devices: {jax.devices()}")
 
     configs: list = []
     details: dict = {}
@@ -779,17 +797,72 @@ def main():
     if args.watchdog_seconds:
         watchdog = _start_watchdog(args.watchdog_seconds, configs, details)
 
-    # ---- config 2/4 headline: multi-species classification ----------
-    headline, headline_details = run_species_config(
-        args.classes,
-        args.genome_mb,
-        args.reads,
-        args.batch_reads,
-        label=f"species-{args.classes}class-headline",
-    )
+    def run_config_isolated(detail_key: str, timeout_s: int = 1200, **kwargs):
+        """Run one species config in a CHILD process, one retry.
 
-    configs.append(headline)
-    details["species_headline"] = headline_details
+        A wedged-chip window (the dev tunnel hangs execution for
+        10-30 min stretches and a hung jax call is not interruptible)
+        then costs one attempt instead of the whole artifact — the
+        parent never touches the TPU backend until every child is
+        done, so the watchdog can always emit completed configs.
+        """
+        import subprocess
+
+        cmd = [
+            sys.executable,
+            str(Path(__file__).resolve()),
+            "--one-config-json",
+            json.dumps(kwargs),
+        ]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        last_err = ""
+        for attempt in (1, 2):
+            try:
+                r = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=timeout_s
+                )
+            except subprocess.TimeoutExpired:
+                last_err = f"attempt {attempt}: timeout after {timeout_s}s"
+                log(f"{kwargs.get('label')}: {last_err}; "
+                    + ("retrying" if attempt == 1 else "giving up"))
+                continue
+            for line in r.stdout.splitlines():
+                if line.startswith("ONE_CONFIG_RESULT:"):
+                    payload = json.loads(line[len("ONE_CONFIG_RESULT:"):])
+                    sys.stderr.write(r.stderr[-4000:])
+                    configs.append(payload["config"])
+                    details[detail_key] = payload["details"]
+                    return payload["config"], payload["details"]
+            last_err = (
+                f"attempt {attempt}: exit {r.returncode}: {r.stderr[-300:]}"
+            )
+            log(f"{kwargs.get('label')}: {last_err}")
+        err = {"config": kwargs.get("label"), "error": last_err[-300:]}
+        configs.append(err)
+        details[detail_key] = {}
+        return err, {}
+
+    # ---- config 2/4 headline: multi-species classification ----------
+    if args.quick:
+        headline, headline_details = run_species_config(
+            args.classes,
+            args.genome_mb,
+            args.reads,
+            args.batch_reads,
+            label=f"species-{args.classes}class-headline",
+        )
+        configs.append(headline)
+        details["species_headline"] = headline_details
+    else:
+        headline, headline_details = run_config_isolated(
+            "species_headline",
+            classes=args.classes,
+            genome_mb=args.genome_mb,
+            num_reads=args.reads,
+            batch_reads=args.batch_reads,
+            label=f"species-{args.classes}class-headline",
+        )
 
     if not (args.quick or args.headline_only):
         # ---- config 1: genus single-filter (C=1).  32 MB metagenome:
@@ -801,33 +874,31 @@ def main():
         # count (~7 at fpr=0.01) internally — the model's num_hashes=1
         # attribute is metadata only
         # (probabilistic_single_filter_model.py:58,88) -----------------
-        genus, genus_details = run_species_config(
-            1,
-            max(args.genome_mb, 32.0),
-            args.reads,
-            args.batch_reads,
+        run_config_isolated(
+            "genus_filter",
+            classes=1,
+            genome_mb=max(args.genome_mb, 32.0),
+            num_reads=args.reads,
+            batch_reads=args.batch_reads,
             label="genus-1class-filter",
             measure_accuracy=False,
             e2e_passes=2,
         )
-        configs.append(genus)
-        details["genus_filter"] = genus_details
 
         # ---- reference-scale: ~40-species Acinetobacter geometry
         # (auto layout lands in the flat slow-gather regime; the
         # multi-chip answer is block-axis sharding — docs/performance.md)
-        refscale, refscale_details = run_species_config(
-            40,
-            args.genome_mb,
-            min(args.reads, 200_000),
-            args.batch_reads,
+        run_config_isolated(
+            "species_40class_reference_scale",
+            classes=40,
+            genome_mb=args.genome_mb,
+            num_reads=min(args.reads, 200_000),
+            batch_reads=args.batch_reads,
             label="species-40class-reference-scale",
             baseline_sample=256,
             baseline_repeats=20,
             e2e_passes=2,
         )
-        configs.append(refscale)
-        details["species_40class_reference_scale"] = refscale_details
 
         # ---- config 3: MLST strain typing ----------------------------
         mlst, mlst_details = run_mlst_config()
@@ -862,6 +933,13 @@ def main():
 
     # ---- config 5: pangenome-scale capacity (block-sharded) ----------
     if not (args.quick or args.headline_only):
+        # the parent's FIRST backend use (the species configs ran in
+        # child processes): gate on a healthy chip before the shard-
+        # window measurements
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.platform != "cpu":
+            _wait_for_device()
         pangenome, pangenome_details = run_pangenome_config(
             scaling.get("spmd_8dev_overhead_ratio")
         )
@@ -891,9 +969,9 @@ def main():
                     "reads/sec/chip, device-side (species classification, "
                     "150bp reads; excludes dev-tunnel host link — see extra)"
                 ),
-                "value": headline["value"],
+                "value": headline.get("value", 0),
                 "unit": "reads/s",
-                "vs_baseline": headline["vs_baseline"],
+                "vs_baseline": headline.get("vs_baseline"),
                 "extra": {
                     # all BASELINE.json configs in one artifact
                     "configs": configs,
@@ -950,9 +1028,9 @@ def main():
         )
     compact = {
         "metric": "reads/sec/chip, device-side (species classification)",
-        "value": headline["value"],
+        "value": headline.get("value", 0),
         "unit": "reads/s",
-        "vs_baseline": headline["vs_baseline"],
+        "vs_baseline": headline.get("vs_baseline"),
         "summary": summary,
     }
     line = json.dumps(compact, separators=(",", ":"))
