@@ -14,8 +14,10 @@ from pathlib import Path
 
 from xspect2_tpu.core import dna
 from xspect2_tpu.core.blocked_index import BlockedBitSlicedIndex
+from xspect2_tpu.core.compat import XXH3BloomFilter
 from xspect2_tpu.io.fasta import get_record_iterator
 from xspect2_tpu.models.filter_model import ProbabilisticFilterModel
+from xspect2_tpu.models.result import ModelResult
 
 
 def _optimal_num_hashes(fpr: float) -> int:
@@ -23,7 +25,18 @@ def _optimal_num_hashes(fpr: float) -> int:
 
 
 class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
-    """Genus-level single Bloom-filter model."""
+    """Genus-level single Bloom-filter model.
+
+    ``hash_family`` selects the filter implementation:
+
+    - ``"blocked"`` (default, the throughput path): one class column of
+      the blocked bit-sliced index, queried by the shared device engine.
+    - ``"xxh3"``: the reference-hash-family compat mode
+      (core/compat.py) — XXH3-64 over the ASCII canonical k-mer string,
+      exactly the byte stream the reference's rbloom filter hashes
+      (reference: src/xspect/models/probabilistic_single_filter_model.py:88,157).
+      Host hashing + device bit tests; a parity/verification mode.
+    """
 
     def __init__(
         self,
@@ -35,6 +48,7 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
         base_path: Path,
         fpr: float = 0.01,
         training_accessions: list[str] | None = None,
+        hash_family: str = "blocked",
     ) -> None:
         super().__init__(
             k=k,
@@ -47,9 +61,21 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
             num_hashes=1,  # metadata-schema parity with the reference
             training_accessions=training_accessions,
         )
+        if hash_family not in ("blocked", "xxh3"):
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
+        self.hash_family = hash_family
+        self.compat_filter: XXH3BloomFilter | None = None
 
     def get_index_path(self) -> Path:
+        if self.hash_family == "xxh3":
+            return self.base_path / self.slug() / "filter.xxh3.npz"
         return self.base_path / self.slug() / "filter.bbsi"
+
+    def to_dict(self) -> dict:
+        d = super().to_dict()
+        if self.hash_family != "blocked":
+            d["hash_family"] = self.hash_family
+        return d
 
     def fit(
         self,
@@ -64,6 +90,16 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
         for record in get_record_iterator(file_path):
             total_length += len(record.seq)
         num_kmers = max(1, total_length - self.k + 1)
+
+        if self.hash_family == "xxh3":
+            # reference-hash-family compat filter, sized like Bloom(n, fpr)
+            filt = XXH3BloomFilter.for_items(num_kmers, self.fpr, self.k)
+            for record in get_record_iterator(file_path):
+                filt.insert_sequence(str(record.seq))
+            self.compat_filter = filt
+            self.display_names[file_path.stem] = display_name
+            filt.save(self.get_index_path())
+            return
 
         # auto probe count: fewer probes = fewer device passes at equal
         # fpr (the classic optimum only minimizes table SIZE; genus
@@ -94,6 +130,55 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
         self.display_names[file_path.stem] = display_name
         index.save(self.get_index_path())
 
+    # ------------------------------------------------- xxh3 compat mode
+    def _compat_class_name(self) -> str:
+        # single-class model: the one trained metagenome's file stem
+        return next(iter(self.display_names), "metagenome")
+
+    def calculate_hits(
+        self, sequence, exclude_ids: list[str] | None = None, step: int = 1
+    ) -> dict:
+        if self.compat_filter is None:
+            return super().calculate_hits(sequence, exclude_ids, step=step)
+        seq = sequence.seq if hasattr(sequence, "seq") else sequence
+        if not isinstance(seq, str):
+            seq = str(seq)
+        if not len(seq) > self.k:
+            raise ValueError("Invalid sequence, must be longer than k")
+        hi, lo, valid = dna.canonical_kmers(dna.encode(seq), self.k, step=step)
+        name = self._compat_class_name()
+        if exclude_ids and name in exclude_ids:
+            return {}
+        return {name: self.compat_filter.count_hits_device(hi, lo, valid)}
+
+    def predict(
+        self,
+        sequence_input,
+        exclude_ids: list[str] | None = None,
+        step: int = 1,
+        display_name: bool = False,
+        validation: bool = False,
+    ) -> ModelResult:
+        if self.compat_filter is None:
+            return super().predict(
+                sequence_input, exclude_ids, step, display_name, validation
+            )
+        hits: dict[str, dict[str, int]] = {}
+        num_kmers: dict[str, int] = {}
+        for rec in self._as_record_iterable(sequence_input):
+            rec_hits = self.calculate_hits(rec, exclude_ids, step=step)
+            if display_name:
+                rec_hits = {
+                    f"{key} -{self.display_names.get(key, 'Unknown').replace(self.model_display_name, '', 1)}": v
+                    for key, v in rec_hits.items()
+                }
+            hits[rec.id] = rec_hits
+            num_kmers[rec.id] = self._count_kmers(str(rec.seq), step=step)
+        if not hits:
+            raise ValueError("No sequences found in input")
+        return ModelResult(self.slug(), hits, num_kmers, sparse_sampling_step=step)
+
+    # ------------------------------------------------------- persistence
     @classmethod
     def _from_metadata(cls, model_json: dict, base_path: Path):
         return cls(
@@ -105,6 +190,7 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
             base_path,
             fpr=model_json["fpr"],
             training_accessions=model_json["training_accessions"],
+            hash_family=model_json.get("hash_family", "blocked"),
         )
 
     @classmethod
@@ -115,5 +201,8 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
         index_path = model.get_index_path()
         if not index_path.exists():
             raise FileNotFoundError(f"Filter file not found at {index_path}")
-        model.index = BlockedBitSlicedIndex.load(index_path)
+        if model.hash_family == "xxh3":
+            model.compat_filter = XXH3BloomFilter.load(index_path)
+        else:
+            model.index = BlockedBitSlicedIndex.load(index_path)
         return model
