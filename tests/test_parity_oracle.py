@@ -297,3 +297,59 @@ def test_mlst_cpn60_allele_4_hits_401():
     res = model.predict(SeqRecord(CPN60_ALLELE_4, "test"))
     strain = res.hits["test"][0]["Strain type"]
     assert strain["Oxf_cpn60"].get("Allele_ID_4") == 401
+
+
+def test_rbloom_membership_parity_with_compat_filter(tmp_path):
+    """Self-activating rbloom oracle for the xxh3 compat hash family.
+
+    Builds the reference's exact genus filter — ``rbloom.Bloom(n, fpr,
+    hash_func=xxh3_64_intdigest)`` over canonical k-mer strings
+    (reference: src/xspect/models/probabilistic_single_filter_model.py:82-96)
+    — next to our ``XXH3BloomFilter`` at the same (n, fpr), and compares
+    membership counts on contained and foreign probes.  Both must count
+    every inserted k-mer (no false negatives); false-positive noise may
+    differ only within the fpr budget until ``derive_probe_positions``
+    carries rbloom's exact bit mapping (PARITY.md).
+    """
+    for mod in ("rbloom", "xxhash"):
+        if importlib.util.find_spec(mod) is None:
+            pytest.skip(f"{mod} not importable (run: pip install rbloom xxhash)")
+    import random
+
+    from rbloom import Bloom
+    from xxhash import xxh3_64_intdigest
+
+    from xspect2_tpu.core import compat, dna
+
+    k = 21
+    rng = random.Random(17)
+    genome = "".join(rng.choice("ACGT") for _ in range(50_000))
+    probe = "".join(rng.choice("ACGT") for _ in range(50_000))
+    n_items = len(genome) - k + 1
+
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def canon(seq):
+        for i in range(len(seq) - k + 1):
+            kmer = seq[i : i + k]
+            yield min(kmer, kmer.translate(comp)[::-1])
+
+    ref = Bloom(n_items, 0.01, hash_func=xxh3_64_intdigest)
+    for kmer in canon(genome):
+        ref.add(kmer)
+
+    ours = compat.XXH3BloomFilter.for_items(n_items, 0.01, k)
+    ours.insert_sequence(genome)
+
+    # no false negatives on either side
+    assert all(kmer in ref for kmer in canon(genome))
+    hi, lo, valid = dna.canonical_kmers(dna.encode(genome), k)
+    assert ours.count_hits_host(hi, lo, valid) == int(valid.sum())
+
+    # false-positive noise within the fpr budget on both sides
+    ref_fp = sum(1 for kmer in canon(probe) if kmer in ref)
+    hi2, lo2, valid2 = dna.canonical_kmers(dna.encode(probe), k)
+    our_fp = ours.count_hits_host(hi2, lo2, valid2)
+    n_probe = int(valid2.sum())
+    assert ref_fp / n_probe < 0.03
+    assert our_fp / n_probe < 0.03
