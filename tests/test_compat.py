@@ -151,3 +151,40 @@ def test_genus_model_xxh3_hash_family(tmp_path):
     # sparse sampling step thins the probes exactly like the dense path
     hits_step = loaded.calculate_hits(sub, step=7)
     assert hits_step == {"metagenome": -(-(len(sub) - 21 + 1) // 7)}
+
+
+def test_classify_genus_facade_with_compat_model(tmp_path, monkeypatch):
+    """The compat model flows through the production classify facade
+    (registry resolution + model cache + result JSON on disk)."""
+    import json
+
+    monkeypatch.setenv("XSPECT_DATA_ROOT", str(tmp_path / "xspect-data"))
+    from xspect2_tpu import classify
+    from xspect2_tpu.definitions import get_xspect_model_path
+    from xspect2_tpu.models.single_filter_model import (
+        ProbabilisticSingleFilterModel,
+    )
+
+    genome = _random_seq(8_000, seed=21)
+    meta = tmp_path / "compatgenus.fasta"
+    meta.write_text(f">m\n{genome}\n")
+
+    model = ProbabilisticSingleFilterModel(
+        21,
+        "CompatX",
+        "t",
+        "t@x.y",
+        "Genus",
+        get_xspect_model_path(),
+        hash_family="xxh3",
+    )
+    model.fit(meta, "CompatX")
+    model.save()
+
+    sample = tmp_path / "sample.fasta"
+    sample.write_text(f">c1\n{genome[2000:5000]}\n")
+    out = tmp_path / "genus.json"
+    classify.classify_genus("CompatX", sample, out)
+    data = json.loads(out.read_text())
+    assert data["scores"]["total"]["compatgenus"] == 1.0
+    assert data["model_slug"] == "compatx-genus"

@@ -165,6 +165,7 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
             )
         hits: dict[str, dict[str, int]] = {}
         num_kmers: dict[str, int] = {}
+        kept_records = [] if validation else None
         for rec in self._as_record_iterable(sequence_input):
             rec_hits = self.calculate_hits(rec, exclude_ids, step=step)
             if display_name:
@@ -174,8 +175,12 @@ class ProbabilisticSingleFilterModel(ProbabilisticFilterModel):
                 }
             hits[rec.id] = rec_hits
             num_kmers[rec.id] = self._count_kmers(str(rec.seq), step=step)
+            if validation:
+                kept_records.append(rec)
         if not hits:
             raise ValueError("No sequences found in input")
+        if validation:
+            hits = self.detecting_misclassification(hits, kept_records)
         return ModelResult(self.slug(), hits, num_kmers, sparse_sampling_step=step)
 
     # ------------------------------------------------------- persistence
