@@ -1000,14 +1000,23 @@ def main():
             summary[key] = scaling[key]
     if "scaling_retry_discarded" in scaling or "spmd_retry_discarded" in scaling:
         summary["bad_window_retry"] = True
-    e2e, wire = {}, {}
+    e2e, wire, ref_ratio = {}, {}, {}
     for name, d in details.items():
         if isinstance(d, dict) and "e2e_vs_device" in d:
             e2e[name] = d["e2e_vs_device"]
             wire[name] = d.get("wire_mbps")
+        if isinstance(d, dict) and "vs_ref_layout_baseline" in d:
+            ref_ratio[name] = d["vs_ref_layout_baseline"]
     if e2e:
         summary["e2e_vs_device"] = e2e
         summary["wire_mbps"] = wire
+    if ref_ratio:
+        # device rate vs the CPU baseline on the REFERENCE's index
+        # geometry, per config (vs_baseline above keys to the strongest
+        # layout, which includes this repo's own packed-layout CPU
+        # improvement — see docs/performance.md "Which configs clear
+        # the 100x-per-chip target")
+        summary["vs_ref_layout"] = ref_ratio
     # the headline vs_baseline keys to the STRONGEST cpu layout; the
     # per-layout ratios say how much of any shortfall is that policy
     summary["headline_ratios"] = {
@@ -1037,6 +1046,7 @@ def main():
     if len(line) > 1900:  # the driver tail is 2000 chars: never exceed it
         summary.pop("e2e_vs_device", None)
         summary.pop("wire_mbps", None)
+        summary.pop("vs_ref_layout", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 
