@@ -882,7 +882,11 @@ def main():
             batch_reads=args.batch_reads,
             label="genus-1class-filter",
             measure_accuracy=False,
-            e2e_passes=2,
+            # 4 best-of passes: the dev tunnel's bandwidth swings 10x
+            # between passes and 2 samples regularly pinned the genus
+            # e2e ratio to a single cold-link window (r03: 0.27x with
+            # no second chance; each extra pass costs <1 s)
+            e2e_passes=4,
         )
 
         # ---- reference-scale: ~40-species Acinetobacter geometry
