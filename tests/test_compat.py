@@ -91,7 +91,11 @@ def test_invalid_bases_are_skipped():
     seq = "ACGT" * 5 + "N" + "ACGT" * 5
     hi, lo, valid = dna.canonical_kmers(dna.encode(seq), k)
     assert not valid.all()
-    # windows containing the N are not counted on either path
+    # windows containing the N are not counted on either path.  NOTE:
+    # this is a documented PARITY GAP, not reference behavior — the
+    # reference inserts and queries N-bearing windows as literal
+    # strings, so the same trained subsequence scores 1.0 there
+    # (core/compat.py module docstring "Known parity gap", PARITY.md)
     assert filt.count_hits_host(hi, lo, valid) == int(valid.sum())
     assert filt.count_hits_device(hi, lo, valid) == int(valid.sum())
 

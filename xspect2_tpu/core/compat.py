@@ -27,6 +27,20 @@ insert (index build is a host job) and a device-side membership count
 queries still run through the chip.  This is a verification/parity
 mode, not the throughput path — the blocked bit-sliced index stays the
 production default (docs/performance.md "Index geometry").
+
+Known parity gap — ambiguous bases ('N').  The reference's
+``_generate_kmers`` yields EVERY window, including ones containing
+non-ACGT bases: an 'N'-bearing k-mer string is inserted at fit and
+looked up at query as a literal string (reference:
+src/xspect/models/probabilistic_single_filter_model.py:161-180), so a
+training subsequence containing N still scores 1.0 there.  This filter
+packs k-mers 2-bit and therefore skips invalid windows on BOTH insert
+and query (the denominator still counts all windows, matching the
+reference's ``_count_kmers``), so the same input scores <1.0 here.
+Real genome queries are unaffected in practice (an N-window miss is
+indistinguishable from an ordinary non-member k-mer); for golden
+score comparison on N-containing inputs a host-side raw-byte-string
+hash path would be needed.  Recorded in PARITY.md (compat row).
 """
 
 import json
@@ -124,6 +138,14 @@ class XXH3BloomFilter:
     def __init__(self, num_bits: int, num_hashes: int, k: int) -> None:
         if num_bits <= 0 or num_hashes <= 0:
             raise ValueError("num_bits and num_hashes must be positive")
+        if not 4 <= int(k) <= 32:
+            # the vectorized XXH3 batch path covers input lengths 4..240
+            # and the 2-bit packing tops out at 32 bases; fail at
+            # construction with the k constraint, not at first insert
+            # with an unrelated-sounding length error
+            raise ValueError(
+                f"XXH3BloomFilter supports 4 <= k <= 32, got k={k}"
+            )
         self.num_bits = int(num_bits)
         self.num_hashes = int(num_hashes)
         self.k = int(k)
