@@ -41,6 +41,20 @@ CACHE_DIR = Path(__file__).resolve().parent / ".bench_cache"
 READ_LEN = 150
 K = 21
 
+# Global wall-clock budget.  The round driver runs this script under its
+# own timeout; a bench that cannot finish inside that window is not
+# self-defending (BENCH_r04 died mid-retry with rc=124 and no summary).
+# Every section is gated on the remaining budget and the compact
+# summary line is re-emitted after each section ("partial": true), so a
+# kill at ANY instant leaves the latest summary as the last stdout line.
+BUDGET_S = float(os.environ.get("XSPECT_BENCH_BUDGET_S", "2400"))
+_BENCH_T0 = time.time()
+
+
+def remaining() -> float:
+    """Seconds left in the global bench budget."""
+    return BUDGET_S - (time.time() - _BENCH_T0)
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
@@ -140,7 +154,15 @@ def simulate_reads(genomes: np.ndarray, num_reads: int, seed: int = 7):
     return reads, cls
 
 
-def bench_device(index, reads, batch_reads, reads_per_chunk=8192, e2e_passes=4):
+def bench_device(
+    index,
+    reads,
+    batch_reads,
+    reads_per_chunk=8192,
+    e2e_passes=4,
+    sparse_steps=(),
+    true_cls=None,
+):
     """Steady-state device throughput over pipelined read batches.
 
     Timing honesty: on this environment ``jax.block_until_ready`` does
@@ -274,6 +296,74 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192, e2e_passes=4):
         f"({e2e_rps * kmers_per_read * index.num_hashes / 1e9:.2f} G probe-lookups/s)"
     )
     log(f"device-only (batch redispatch, forced sync): {dev_rps:,.0f} reads/s")
+
+    # ---- e2e decomposition (loopback control for the wire story) ----
+    # pack: the host-only 2-bit pack + patch-list path, NO device call
+    # (the loopback control — if this rate were near the e2e rate, the
+    # host pipeline, not the tunnel, would be the e2e ceiling).  wire:
+    # the measured link bandwidth on this payload.  device: the forced-
+    # sync redispatch rate above.  fetch: 1 byte/read of argmax preds.
+    # The pipelined-overlap bound is the slowest stage; e2e at ~bound
+    # means the depth-3 pipelining already overlaps pack/transfer/exec
+    # and the remaining deficit IS the link.
+    t0 = time.time()
+    for b in batches:
+        pack_reads_wire(b, index.k, batch_reads)
+    pack_s = (time.time() - t0) / len(batches)
+    pack_rps = batch_reads / pack_s
+    wire_rps = wire_mbps * 1e6 / (packed.nbytes / batch_reads)
+    stage_rates = {
+        "pack_reads_per_s": round(pack_rps),
+        "wire_reads_per_s": round(wire_rps),
+        "device_reads_per_s": round(dev_rps),
+        # preds fetch is 1 byte/read over the same link
+        "fetch_reads_per_s": round(wire_mbps * 1e6 / 1.0),
+    }
+    bound = min(stage_rates.values())
+    decomposition = {
+        **stage_rates,
+        "bottleneck_stage": min(stage_rates, key=stage_rates.get),
+        "overlap_bound_reads_per_s": round(bound),
+        "e2e_vs_overlap_bound": round(e2e_rps / bound, 2),
+    }
+    log(f"e2e decomposition: {json.dumps(decomposition)}")
+
+    # ---- sparse-sampling-step rows (the reference's own --sparse-
+    # sampling-step knob, reference: src/xspect/main.py:66-71) --------
+    sparse_rows = []
+    if sparse_steps:
+        n_b0 = min(len(batches[0]), batch_reads)
+        acc1 = None
+        if true_cls is not None:
+            preds1 = np.asarray(jnp.argmax(out, axis=1))[:n_b0]
+            acc1 = float((preds1 == true_cls[:n_b0]).mean())
+    for s in sparse_steps:
+        geom_s = dict(geom)
+        geom_s["step"] = int(s)
+        out_s = query_packed_reads_device(
+            engine.table, dp, dbr, dbc, num_blocks=nb, **geom_s
+        )
+        _ = int(np.asarray(jnp.sum(out_s)))  # compile + warm
+        t0 = time.time()
+        for _ in range(n_iter):
+            out_s = query_packed_reads_device(
+                engine.table, dp, dbr, dbc, num_blocks=nb, **geom_s
+            )
+        _ = int(np.asarray(jnp.sum(out_s)))
+        rate_s = batch_reads / ((time.time() - t0) / n_iter)
+        row = {"step": int(s), "device_reads_per_s": round(rate_s)}
+        if true_cls is not None:
+            preds_s = np.asarray(jnp.argmax(out_s, axis=1))[:n_b0]
+            row["argmax_accuracy"] = round(
+                float((preds_s == true_cls[:n_b0]).mean()), 4
+            )
+            if acc1 is not None:
+                row["accuracy_delta_vs_step1"] = round(
+                    row["argmax_accuracy"] - acc1, 4
+                )
+        log(f"sparse step {s}: {json.dumps(row)}")
+        sparse_rows.append(row)
+
     raw_gather = measure_raw_gather(engine)
     extras = {
         "e2e_samples": e2e_samples,
@@ -282,7 +372,10 @@ def bench_device(index, reads, batch_reads, reads_per_chunk=8192, e2e_passes=4):
         "wire_mbps": round(wire_mbps, 1),
         "wire_mbps_samples": [round(w, 1) for w in wire_samples],
         "wire_bytes_per_read": round(packed.nbytes / batch_reads, 1),
+        "e2e_decomposition": decomposition,
     }
+    if sparse_rows:
+        extras["sparse_step_rows"] = sparse_rows
     return e2e_rps, dev_rps, preds, extras
 
 
@@ -381,6 +474,7 @@ def run_species_config(
     baseline_repeats: int = 20,
     measure_accuracy: bool = True,
     e2e_passes: int = 4,
+    sparse_steps: tuple = (),
 ):
     """One BASELINE config end-to-end: device rates + CPU baselines.
 
@@ -394,7 +488,12 @@ def run_species_config(
     log(f"--- config {label}: {classes} classes, {index.nbytes / 1e6:.0f} MB, "
         f"h={index.num_hashes}, fields/word={index.fields_per_word}")
     e2e_rps, dev_rps, preds, dev_extras = bench_device(
-        index, reads, batch_reads, e2e_passes=e2e_passes
+        index,
+        reads,
+        batch_reads,
+        e2e_passes=e2e_passes,
+        sparse_steps=tuple(sparse_steps),
+        true_cls=true_cls if measure_accuracy else None,
     )
     e2e_samples = dev_extras["e2e_samples"]
     raw_gather = dev_extras["raw_gather"]
@@ -450,6 +549,7 @@ def run_species_config(
         "wire_bound_reads_per_s": round(
             dev_extras["wire_mbps"] * 1e6 / dev_extras["wire_bytes_per_read"]
         ),
+        "e2e_decomposition": dev_extras["e2e_decomposition"],
         "e2e_phases": dev_extras["e2e_phases"],
         "kmer_lookups_per_s": round(dev_rps * (READ_LEN - K + 1)),
         # gather-bound workload: lookups/s vs the raw gather rate on
@@ -479,10 +579,12 @@ def run_species_config(
     }
     if acc is not None:
         details["argmax_accuracy"] = round(acc, 4)
+    if "sparse_step_rows" in dev_extras:
+        details["sparse_step_rows"] = dev_extras["sparse_step_rows"]
     return config, details
 
 
-def run_mlst_config():
+def run_mlst_config(timeout_s: int = 700):
     """BASELINE config 3 via tools/bench_mlst.py (own process: separate
 
     model registry tmpdir + device program cache)."""
@@ -493,7 +595,7 @@ def run_mlst_config():
         str(Path(__file__).resolve().parent / "tools" / "bench_mlst.py"),
     ]
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
         if r.returncode != 0:
             return {"config": "mlst-7locus", "error": r.stderr[-300:]}, {}
         out = json.loads(r.stdout.strip().splitlines()[-1])
@@ -520,6 +622,8 @@ def measure_shard_window_rate(
     num_reads: int = 32768,
     rpc: int = 8192,
     iters: int = 3,
+    fields_per_word: int = 1,
+    num_classes: int | None = None,
 ):
     """Per-chip device rate of ONE block-shard window (reads/s).
 
@@ -544,9 +648,9 @@ def measure_shard_window_rate(
         num_hashes=num_hashes,
         rows_per_block=rows_per_block,
         class_words=class_words,
-        num_classes=class_words * 32,
+        num_classes=num_classes or class_words * 32,
         reads_per_chunk=rpc,
-        fields_per_word=1,
+        fields_per_word=fields_per_word,
         local_blocks=window_blocks,
     )
     table = jnp.asarray(
@@ -570,7 +674,51 @@ def measure_shard_window_rate(
     return rate
 
 
-def run_pangenome_config(spmd_ratio: float | None):
+def project_species40_nchip(spmd_ratio: float | None, d40: dict) -> dict:
+    """Measured 2-/4-chip block-shard projections for the 40-class config.
+
+    Each chip holds a contiguous window of the block axis (hash-space
+    sharding, parallel/block_sharded.py) and runs the FULL read stream
+    against it with non-owned k-mers masked; psum assembles exact hits.
+    The projected rate for blkN is the measured per-chip window rate x
+    the measured SPMD overhead ratio — the same composition the
+    accepted pangenome projection uses.  Geometry comes from the real
+    cached 40-class index, so the windows are the exact shapes a 2- or
+    4-chip deployment would gather from.
+    """
+    index, _ = build_or_load_index(40, 4.0)
+    nb = int(index.num_blocks)
+    spmd = spmd_ratio if spmd_ratio else 0.95
+    out = {
+        "num_blocks": nb,
+        "index_mb": round(index.nbytes / 1e6, 1),
+        "spmd_ratio_applied": round(spmd, 3),
+        "spmd_ratio_source": (
+            "measured this run" if spmd_ratio else "default 0.95"
+        ),
+    }
+    cpu_ref = d40.get("cpu_1core_native_ref_layout_reads_per_s")
+    for n_chips in (2, 4):
+        r_win = measure_shard_window_rate(
+            -(-nb // n_chips),
+            nb,
+            index.rows_per_block,
+            index.class_words,
+            index.num_hashes,
+            fields_per_word=index.fields_per_word,
+            num_classes=index.num_classes,
+        )
+        proj = round(r_win * spmd)
+        out[f"shard_window_blk{n_chips}_reads_per_s_chip"] = round(r_win)
+        out[f"projected_{n_chips}chip_reads_per_s"] = proj
+        if cpu_ref:
+            out[f"projected_{n_chips}chip_vs_ref_layout"] = round(
+                proj / cpu_ref, 1
+            )
+    return out
+
+
+def run_pangenome_config(spmd_ratio: float | None, timeout_s: int = 600):
     """BASELINE config 5: pangenome-scale capacity (block-sharded).
 
     Exactness + accuracy + host-side rate come from
@@ -587,7 +735,7 @@ def run_pangenome_config(spmd_ratio: float | None):
         str(Path(__file__).resolve().parent / "tools" / "bench_pangenome.py"),
     ]
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=700)
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
         if r.returncode != 0:
             return (
                 {"config": "pangenome-256class-2gb", "error": r.stderr[-300:]},
@@ -652,7 +800,152 @@ def run_pangenome_config(spmd_ratio: float | None):
     return config, details
 
 
-def _wait_for_device(max_wait_s: int = 900) -> bool:
+def build_compact_line(state: dict, partial: bool = False) -> str:
+    """The self-defending one-line summary (final stdout line).
+
+    The round driver keeps only the last ~2000 chars of stdout and
+    parses the LAST line, so this carries all configs + scaling + the
+    designed-out rows by itself and never exceeds 1900 chars.  Emitted
+    incrementally after every section with ``"partial": true`` so a
+    kill at any instant still leaves the newest summary in the tail.
+    """
+    configs = state["configs"]
+    details = state["details"]
+    scaling = state["scaling"]
+    headline = state["headline"]
+    headline_details = state["headline_details"]
+
+    summary: dict = {
+        "configs": [
+            {
+                k: c.get(k)
+                for k in ("config", "value", "unit", "vs_baseline", "error", "skipped")
+                if k in c
+            }
+            for c in configs
+        ],
+        "cpu_denominator": "trimmed median of >=20 single-core samples",
+    }
+    for key in (
+        "scaling_efficiency_2proc",
+        "scaling_efficiency_vs_control",
+        "spmd_8dev_overhead_ratio",
+        "scaling_error",
+        "scaling_skipped",
+    ):
+        if key in scaling:
+            summary[key] = scaling[key]
+    if "scaling_retry_discarded" in scaling or "spmd_retry_discarded" in scaling:
+        summary["bad_window_retry"] = True
+    e2e, wire, ref_ratio = {}, {}, {}
+    for name, d in details.items():
+        if isinstance(d, dict) and "e2e_vs_device" in d:
+            e2e[name] = d["e2e_vs_device"]
+            wire[name] = d.get("wire_mbps")
+        if isinstance(d, dict) and "vs_ref_layout_baseline" in d:
+            ref_ratio[name] = d["vs_ref_layout_baseline"]
+    if e2e:
+        summary["e2e_vs_device"] = e2e
+        summary["wire_mbps"] = wire
+    if ref_ratio:
+        # device rate vs the CPU baseline on the REFERENCE's index
+        # geometry, per config (vs_baseline above keys to the strongest
+        # layout, which includes this repo's own packed-layout CPU
+        # improvement — see docs/performance.md "Which configs clear
+        # the 100x-per-chip target")
+        summary["vs_ref_layout"] = ref_ratio
+
+    # the designed outs for the 40-class 100x shortfall, as recorded
+    # data: sparse-sampling-step rows (device rate + accuracy delta)
+    # and the 2-chip block-sharded projection (measured shard-window
+    # rate x measured spmd ratio)
+    d40 = details.get("species_40class_reference_scale") or {}
+    outs: dict = {}
+    if d40.get("sparse_step_rows"):
+        outs["sparse_steps"] = [
+            {
+                "step": r["step"],
+                "rps": r["device_reads_per_s"],
+                "acc": r.get("argmax_accuracy"),
+                "d_acc": r.get("accuracy_delta_vs_step1"),
+            }
+            for r in d40["sparse_step_rows"]
+        ]
+    if details.get("species40_2chip"):
+        p = details["species40_2chip"]
+        for n in (2, 4):
+            if p.get(f"projected_{n}chip_reads_per_s"):
+                outs[f"{n}chip_blk{n}"] = {
+                    "rps": p[f"projected_{n}chip_reads_per_s"],
+                    "vs_ref": p.get(f"projected_{n}chip_vs_ref_layout"),
+                }
+    if outs:
+        summary["species40_outs"] = outs
+
+    ra = details.get("read_accuracy") or {}
+    if ra.get("stats"):
+        s = ra["stats"]
+        summary["read_accuracy"] = {
+            "reads": ra.get("num_reads"),
+            "err_model": ra.get("error_model"),
+            "acc": s.get("accuracy"),
+            "sel_acc": s.get("selective_accuracy"),
+            "cov": s.get("coverage"),
+            "rej_rec": s.get("rejection_recall"),
+            "ref_published": {
+                "acc": 0.7255,
+                "sel_acc": 0.828,
+                "cov": 0.8763,
+                "rej_rec": 0.4509,
+            },
+        }
+
+    if isinstance(headline.get("vs_baseline"), (int, float)) and headline[
+        "vs_baseline"
+    ] < 100:
+        summary["species_100x_note"] = (
+            "device rate is stable across rounds; the ratio's denominator "
+            "is a shared-2-core-VM CPU rate (trimmed-median guarded here); "
+            "see docs/performance.md 'Which configs clear the 100x target'"
+        )
+    # the headline vs_baseline keys to the STRONGEST cpu layout; the
+    # per-layout ratios say how much of any shortfall is that policy
+    if headline_details:
+        summary["headline_ratios"] = {
+            k: headline_details.get(v)
+            for k, v in (
+                ("vs_ref_layout", "vs_ref_layout_baseline"),
+                ("vs_packed_layout", "vs_packed_layout_baseline"),
+                ("vs_python_path", "vs_reference_style_path"),
+            )
+        }
+    compact = {
+        "metric": "reads/sec/chip, device-side (species classification)",
+        "value": headline.get("value", 0),
+        "unit": "reads/s",
+        "vs_baseline": headline.get("vs_baseline"),
+        "summary": summary,
+    }
+    if partial:
+        compact["partial"] = True
+        compact["elapsed_s"] = round(time.time() - _BENCH_T0)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # the driver tail is 2000 chars: never exceed it
+        for drop in (
+            "e2e_vs_device",
+            "wire_mbps",
+            "vs_ref_layout",
+            "species_100x_note",
+            "read_accuracy",
+        ):
+            summary.pop(drop, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    return line
+
+
+def _wait_for_device(max_wait_s: int | None = None) -> bool:
     """Wait until the accelerator actually executes work.
 
     The dev chip enumerates fine while wedged (no execution returns for
@@ -663,9 +956,14 @@ def _wait_for_device(max_wait_s: int = 900) -> bool:
     each kill is itself the kind of event that wedges the backend, and
     concurrent clients block each other — so this must run BEFORE the
     calling process touches the backend, and it never kills the probe
-    early.  Returns readiness.
+    early.  Returns readiness.  ``XSPECT_DEVICE_WAIT_S`` caps the wait
+    (the budget-aware parent sets it per child so one wedged window
+    cannot eat a whole config's timeout).
     """
     import subprocess
+
+    if max_wait_s is None:
+        max_wait_s = int(float(os.environ.get("XSPECT_DEVICE_WAIT_S", "900")))
 
     probe = (
         "import time, numpy as np, jax, jax.numpy as jnp;"
@@ -691,37 +989,20 @@ def _wait_for_device(max_wait_s: int = 900) -> bool:
         return False
 
 
-def _start_watchdog(seconds: int, configs: list, details: dict):
-    """Emit a partial artifact and exit if the run wedges.
+def _start_watchdog(seconds: int, state: dict):
+    """Emit the partial compact summary and exit if the run wedges.
 
     The dev TPU rides a network tunnel that can hang indefinitely
     (device enumeration succeeds, execution never returns — observed
     for ~20 min stretches); a hung jax call is not interruptible from
-    Python, so on expiry the watchdog prints whatever configs finished
-    and hard-exits.  A partial artifact beats none.
+    Python, so on expiry the watchdog prints the newest compact summary
+    (same schema as the final line, ``"partial": true``) and hard-exits.
+    A partial artifact beats none.
     """
 
     def fire():
-        headline = configs[0] if configs else {}
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        headline.get("config", "bench")
-                        + " (WATCHDOG TIMEOUT: partial results)"
-                    ),
-                    "value": headline.get("value", 0),
-                    "unit": headline.get("unit", "reads/s"),
-                    "vs_baseline": headline.get("vs_baseline"),
-                    "extra": {
-                        "watchdog_timeout_s": seconds,
-                        "configs": configs,
-                        **details,
-                    },
-                }
-            ),
-            flush=True,
-        )
+        state["details"]["watchdog_timeout_s"] = seconds
+        print(build_compact_line(state, partial=True), flush=True)
         os._exit(2)
 
     t = threading.Timer(seconds, fire)
@@ -793,18 +1074,48 @@ def main():
 
     configs: list = []
     details: dict = {}
+    scaling: dict = {}
+    state = {
+        "configs": configs,
+        "details": details,
+        "scaling": scaling,
+        "headline": {},
+        "headline_details": {},
+    }
     watchdog = None
     if args.watchdog_seconds:
-        watchdog = _start_watchdog(args.watchdog_seconds, configs, details)
+        # backstop only: the budget gates below should always finish
+        # first; the watchdog catches a hung jax call in the parent
+        watchdog = _start_watchdog(
+            min(args.watchdog_seconds, int(BUDGET_S) + 120), state
+        )
 
-    def run_config_isolated(detail_key: str, timeout_s: int = 1200, **kwargs):
-        """Run one species config in a CHILD process, one retry.
+    def emit_partial():
+        """Re-print the compact summary so ANY kill leaves it in the tail."""
+        print(build_compact_line(state, partial=True), flush=True)
+
+    def gate(section: str, est_s: float) -> bool:
+        """Budget gate: skip-with-note rather than start what can't finish."""
+        r = remaining()
+        if r < est_s:
+            log(f"{section}: SKIPPED ({r:.0f}s budget left < {est_s:.0f}s estimate)")
+            configs.append(
+                {"config": section, "skipped": f"budget: {r:.0f}s left < {est_s:.0f}s est"}
+            )
+            emit_partial()
+            return False
+        return True
+
+    def run_config_isolated(detail_key: str, cap_s: int = 420, **kwargs):
+        """Run one species config in a CHILD process, budget-aware retry.
 
         A wedged-chip window (the dev tunnel hangs execution for
         10-30 min stretches and a hung jax call is not interruptible)
         then costs one attempt instead of the whole artifact — the
         parent never touches the TPU backend until every child is
-        done, so the watchdog can always emit completed configs.
+        done, so the partial summary can always be emitted.  The child
+        timeout adapts to the remaining global budget, and the retry
+        only runs when the budget can still absorb it.
         """
         import subprocess
 
@@ -818,9 +1129,21 @@ def main():
             cmd += ["--platform", args.platform]
         last_err = ""
         for attempt in (1, 2):
+            timeout_s = int(max(150, min(cap_s, remaining() - 60)))
+            if remaining() < 180:
+                last_err = (
+                    last_err + f"; no retry: {remaining():.0f}s budget left"
+                    if last_err
+                    else f"skipped: {remaining():.0f}s budget left"
+                )
+                break
+            env = dict(os.environ)
+            # a wedged window may not clear within the child's slice of
+            # the budget: cap the child's device-gate wait accordingly
+            env["XSPECT_DEVICE_WAIT_S"] = str(max(60, timeout_s // 2))
             try:
                 r = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=timeout_s
+                    cmd, capture_output=True, text=True, timeout=timeout_s, env=env
                 )
             except subprocess.TimeoutExpired:
                 last_err = f"attempt {attempt}: timeout after {timeout_s}s"
@@ -844,6 +1167,8 @@ def main():
         return err, {}
 
     # ---- config 2/4 headline: multi-species classification ----------
+    # runs FIRST and with the most generous child cap: the headline
+    # number must exist in the artifact whatever happens later
     if args.quick:
         headline, headline_details = run_species_config(
             args.classes,
@@ -857,14 +1182,40 @@ def main():
     else:
         headline, headline_details = run_config_isolated(
             "species_headline",
+            cap_s=600,
             classes=args.classes,
             genome_mb=args.genome_mb,
             num_reads=args.reads,
             batch_reads=args.batch_reads,
             label=f"species-{args.classes}class-headline",
         )
+    state["headline"] = headline
+    state["headline_details"] = headline_details
+    if not args.quick:
+        emit_partial()
 
     if not (args.quick or args.headline_only):
+        # ---- reference-scale: ~40-species Acinetobacter geometry
+        # (auto layout lands in the flat slow-gather regime; the
+        # multi-chip answer is block-axis sharding — docs/performance.md).
+        # sparse_steps: the reference's own --sparse-sampling-step knob
+        # measured at 2 and 4 with the accuracy delta (the designed out
+        # for the 100x shortfall, recorded as data)
+        if gate("species-40class-reference-scale", 240):
+            run_config_isolated(
+                "species_40class_reference_scale",
+                classes=40,
+                genome_mb=args.genome_mb,
+                num_reads=min(args.reads, 200_000),
+                batch_reads=args.batch_reads,
+                label="species-40class-reference-scale",
+                baseline_sample=256,
+                baseline_repeats=20,
+                e2e_passes=2,
+                sparse_steps=(2, 4),
+            )
+            emit_partial()
+
         # ---- config 1: genus single-filter (C=1).  32 MB metagenome:
         # representative of a real genus filter AND a ~99 MB table —
         # the proven fast-regime shape (docs/performance.md "Genus
@@ -874,81 +1225,151 @@ def main():
         # count (~7 at fpr=0.01) internally — the model's num_hashes=1
         # attribute is metadata only
         # (probabilistic_single_filter_model.py:58,88) -----------------
-        run_config_isolated(
-            "genus_filter",
-            classes=1,
-            genome_mb=max(args.genome_mb, 32.0),
-            num_reads=args.reads,
-            batch_reads=args.batch_reads,
-            label="genus-1class-filter",
-            measure_accuracy=False,
-            # 4 best-of passes: the dev tunnel's bandwidth swings 10x
-            # between passes and 2 samples regularly pinned the genus
-            # e2e ratio to a single cold-link window (r03: 0.27x with
-            # no second chance; each extra pass costs <1 s)
-            e2e_passes=4,
-        )
-
-        # ---- reference-scale: ~40-species Acinetobacter geometry
-        # (auto layout lands in the flat slow-gather regime; the
-        # multi-chip answer is block-axis sharding — docs/performance.md)
-        run_config_isolated(
-            "species_40class_reference_scale",
-            classes=40,
-            genome_mb=args.genome_mb,
-            num_reads=min(args.reads, 200_000),
-            batch_reads=args.batch_reads,
-            label="species-40class-reference-scale",
-            baseline_sample=256,
-            baseline_repeats=20,
-            e2e_passes=2,
-        )
+        if gate("genus-1class-filter", 200):
+            run_config_isolated(
+                "genus_filter",
+                classes=1,
+                genome_mb=max(args.genome_mb, 32.0),
+                num_reads=args.reads,
+                batch_reads=args.batch_reads,
+                label="genus-1class-filter",
+                measure_accuracy=False,
+                # 4 best-of passes: the dev tunnel's bandwidth swings 10x
+                # between passes and 2 samples regularly pinned the genus
+                # e2e ratio to a single cold-link window (r03: 0.27x with
+                # no second chance; each extra pass costs <1 s)
+                e2e_passes=4,
+            )
+            emit_partial()
 
         # ---- config 3: MLST strain typing ----------------------------
-        mlst, mlst_details = run_mlst_config()
-        configs.append(mlst)
-        details["mlst"] = mlst_details
+        if gate("mlst-7locus", 200):
+            mlst, mlst_details = run_mlst_config(
+                timeout_s=int(max(150, min(700, remaining() - 60)))
+            )
+            configs.append(mlst)
+            details["mlst"] = mlst_details
+            emit_partial()
+
+        # ---- read-level accuracy under sequencing noise --------------
+        # (reference's published read benchmark: docs/benchmark.md:58-69;
+        # error-model simulated reads through the real on-chip pipeline,
+        # metrics via pipelines/benchmark.py)
+        if gate("read-accuracy-noisy", 220):
+            import subprocess
+
+            t = int(max(150, min(540, remaining() - 60)))
+            env = dict(os.environ)
+            env["XSPECT_DEVICE_WAIT_S"] = str(max(60, t // 2))
+            try:
+                r = subprocess.run(
+                    [
+                        sys.executable,
+                        str(
+                            Path(__file__).resolve().parent
+                            / "tools"
+                            / "bench_read_accuracy.py"
+                        ),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=t,
+                    env=env,
+                )
+                if r.returncode == 0:
+                    ra = json.loads(r.stdout.strip().splitlines()[-1])
+                    details["read_accuracy"] = ra.get("extra", {})
+                    configs.append(
+                        {
+                            "config": "read-accuracy-noisy",
+                            "value": ra.get("value"),
+                            "unit": ra.get("unit"),
+                            "vs_baseline": ra.get("vs_baseline"),
+                        }
+                    )
+                    log(f"read accuracy: {json.dumps(ra)[:600]}")
+                else:
+                    configs.append(
+                        {"config": "read-accuracy-noisy", "error": r.stderr[-300:]}
+                    )
+            except Exception as exc:  # never fail the headline bench
+                configs.append(
+                    {"config": "read-accuracy-noisy", "error": str(exc)[:300]}
+                )
+            emit_partial()
 
     # multi-process scaling efficiency (CPU mesh, core-pinned; the
     # 2-host proxy available in this environment — tools/bench_scaling.py;
-    # carries its own bad-window guard with one auto-retry, so the
-    # timeout budgets two attempts)
-    scaling = {}
+    # carries its own bad-window guard with auto-retries, capped by the
+    # budget we pass it so it degrades instead of being killed mid-way)
     if not (args.quick or args.headline_only):
         import subprocess
 
-        try:
-            r = subprocess.run(
-                [
-                    sys.executable,
-                    str(Path(__file__).resolve().parent / "tools" / "bench_scaling.py"),
-                ],
-                capture_output=True,
-                text=True,
-                timeout=1260,
+        # leave headroom for the pangenome + shard-window section
+        scaling_cap = int(min(1100, remaining() - 380))
+        if scaling_cap < 240:
+            scaling["scaling_skipped"] = (
+                f"budget: {remaining():.0f}s left, cap {scaling_cap}s"
             )
-            if r.returncode == 0:
-                scaling = json.loads(r.stdout.strip().splitlines()[-1])
-                log(f"scaling: {scaling}")
-            else:
-                scaling = {"scaling_error": r.stderr[-300:]}
-        except Exception as exc:  # never fail the headline bench
-            scaling = {"scaling_error": str(exc)[:300]}
+            log(f"scaling: {scaling['scaling_skipped']}")
+        else:
+            env = dict(os.environ)
+            env["XSPECT_SCALING_BUDGET_S"] = str(scaling_cap - 30)
+            try:
+                r = subprocess.run(
+                    [
+                        sys.executable,
+                        str(
+                            Path(__file__).resolve().parent
+                            / "tools"
+                            / "bench_scaling.py"
+                        ),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=scaling_cap,
+                    env=env,
+                )
+                if r.returncode == 0:
+                    scaling.update(json.loads(r.stdout.strip().splitlines()[-1]))
+                    log(f"scaling: {scaling}")
+                else:
+                    scaling["scaling_error"] = r.stderr[-300:]
+            except Exception as exc:  # never fail the headline bench
+                scaling["scaling_error"] = str(exc)[:300]
+        emit_partial()
 
     # ---- config 5: pangenome-scale capacity (block-sharded) ----------
     if not (args.quick or args.headline_only):
         # the parent's FIRST backend use (the species configs ran in
         # child processes): gate on a healthy chip before the shard-
         # window measurements
-        if args.platform:
-            jax.config.update("jax_platforms", args.platform)
-        if args.platform != "cpu":
-            _wait_for_device()
-        pangenome, pangenome_details = run_pangenome_config(
-            scaling.get("spmd_8dev_overhead_ratio")
-        )
-        configs.append(pangenome)
-        details["pangenome"] = pangenome_details
+        if gate("pangenome-256class-2gb", 220):
+            if args.platform:
+                jax.config.update("jax_platforms", args.platform)
+            if args.platform != "cpu":
+                _wait_for_device(int(max(60, min(300, remaining() // 3))))
+            pangenome, pangenome_details = run_pangenome_config(
+                scaling.get("spmd_8dev_overhead_ratio"),
+                timeout_s=int(max(120, min(600, remaining() - 120))),
+            )
+            configs.append(pangenome)
+            details["pangenome"] = pangenome_details
+            emit_partial()
+
+        # ---- 40-class 2-chip / 4-chip block-shard projections --------
+        # (the other designed out for the 100x shortfall, measured on
+        # the real chip at the exact shard-window geometries)
+        if remaining() > 100 and args.platform != "cpu":
+            try:
+                details["species40_2chip"] = project_species40_nchip(
+                    scaling.get("spmd_8dev_overhead_ratio"),
+                    details.get("species_40class_reference_scale") or {},
+                )
+                log(f"species40 shard projections: {details['species40_2chip']}")
+            except Exception as exc:
+                details["species40_2chip"] = {"error": str(exc)[:300]}
+            emit_partial()
 
     if watchdog is not None:
         watchdog.cancel()
@@ -987,72 +1408,7 @@ def main():
         flush=True,
     )
 
-    summary: dict = {
-        "configs": [
-            {k: c.get(k) for k in ("config", "value", "unit", "vs_baseline", "error") if k in c}
-            for c in configs
-        ],
-        "cpu_denominator": "trimmed median of >=20 single-core samples",
-    }
-    for key in (
-        "scaling_efficiency_2proc",
-        "scaling_efficiency_vs_control",
-        "spmd_8dev_overhead_ratio",
-        "scaling_error",
-    ):
-        if key in scaling:
-            summary[key] = scaling[key]
-    if "scaling_retry_discarded" in scaling or "spmd_retry_discarded" in scaling:
-        summary["bad_window_retry"] = True
-    e2e, wire, ref_ratio = {}, {}, {}
-    for name, d in details.items():
-        if isinstance(d, dict) and "e2e_vs_device" in d:
-            e2e[name] = d["e2e_vs_device"]
-            wire[name] = d.get("wire_mbps")
-        if isinstance(d, dict) and "vs_ref_layout_baseline" in d:
-            ref_ratio[name] = d["vs_ref_layout_baseline"]
-    if e2e:
-        summary["e2e_vs_device"] = e2e
-        summary["wire_mbps"] = wire
-    if ref_ratio:
-        # device rate vs the CPU baseline on the REFERENCE's index
-        # geometry, per config (vs_baseline above keys to the strongest
-        # layout, which includes this repo's own packed-layout CPU
-        # improvement — see docs/performance.md "Which configs clear
-        # the 100x-per-chip target")
-        summary["vs_ref_layout"] = ref_ratio
-    # the headline vs_baseline keys to the STRONGEST cpu layout; the
-    # per-layout ratios say how much of any shortfall is that policy
-    summary["headline_ratios"] = {
-        k: headline_details.get(v)
-        for k, v in (
-            ("vs_ref_layout", "vs_ref_layout_baseline"),
-            ("vs_packed_layout", "vs_packed_layout_baseline"),
-            ("vs_python_path", "vs_reference_style_path"),
-        )
-    }
-    if isinstance(headline.get("vs_baseline"), (int, float)) and headline[
-        "vs_baseline"
-    ] < 100:
-        summary["species_100x_note"] = (
-            "device rate is stable across rounds; the ratio's denominator "
-            "is a shared-2-core-VM CPU rate (trimmed-median guarded here); "
-            "see docs/performance.md 'Which configs clear the 100x target'"
-        )
-    compact = {
-        "metric": "reads/sec/chip, device-side (species classification)",
-        "value": headline.get("value", 0),
-        "unit": "reads/s",
-        "vs_baseline": headline.get("vs_baseline"),
-        "summary": summary,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # the driver tail is 2000 chars: never exceed it
-        summary.pop("e2e_vs_device", None)
-        summary.pop("wire_mbps", None)
-        summary.pop("vs_ref_layout", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line, flush=True)
+    print(build_compact_line(state), flush=True)
 
 
 if __name__ == "__main__":

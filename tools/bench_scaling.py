@@ -210,10 +210,19 @@ def _host_probe() -> float:
 
 
 def main():
+    import time
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=32768)
     ap.add_argument("--skip-spmd-overhead", action="store_true")
     args = ap.parse_args()
+
+    # budget passed by bench.py: retries and the spmd section yield to
+    # the deadline so a partial scaling result prints instead of the
+    # whole section being killed mid-way with no output
+    deadline = time.time() + float(
+        os.environ.get("XSPECT_SCALING_BUDGET_S", "1e9")
+    )
 
     have_taskset = (
         subprocess.run(
@@ -242,8 +251,14 @@ def main():
             "probe_melems": [round(probe0, 1), round(probe1, 1)],
         }
 
+    t0 = time.time()
     attempts = [scaling_attempt()]
-    while attempts[-1]["eff"] < 0.85 and len(attempts) < 3:
+    attempt_cost = time.time() - t0
+    while (
+        attempts[-1]["eff"] < 0.85
+        and len(attempts) < 3
+        and time.time() + attempt_cost < deadline
+    ):
         attempts.append(scaling_attempt())
     best = max(attempts, key=lambda a: a["eff"])
     r1, r2, rc = best["r1"], best["r2"], best["rc"]
@@ -286,6 +301,12 @@ def main():
         # (at 32k total each of 8 shards gets a toy 4k-read program and
         # the measurement reflects dispatch, not partition overhead)
         n_spmd = max(args.reads, 131072)
+        # one spmd attempt costs about one scaling attempt's worth of
+        # worker runs; skip the section rather than get killed mid-way
+        if time.time() + attempt_cost > deadline:
+            out["spmd_skipped"] = "scaling budget exhausted"
+            print(json.dumps(out))
+            return
 
         def spmd_attempt():
             probe0 = _host_probe()
@@ -302,8 +323,14 @@ def main():
                 "probe_melems": [round(probe0, 1), round(probe1, 1)],
             }
 
+        t0 = time.time()
         spmd_attempts = [spmd_attempt()]
-        while spmd_attempts[-1]["ratio"] < 0.9 and len(spmd_attempts) < 3:
+        spmd_cost = time.time() - t0
+        while (
+            spmd_attempts[-1]["ratio"] < 0.9
+            and len(spmd_attempts) < 3
+            and time.time() + spmd_cost < deadline
+        ):
             spmd_attempts.append(spmd_attempt())
         best_spmd = max(spmd_attempts, key=lambda a: a["ratio"])
         out["spmd_8dev_overhead_ratio"] = round(best_spmd["ratio"], 3)

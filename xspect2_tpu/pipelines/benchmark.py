@@ -74,8 +74,20 @@ def evaluate_read_classifications(
 
     rows = (read_id, true_label, predicted_label_or_'ambiguous').
     """
-    y_true = np.asarray([r[1] for r in rows])
-    y_pred = np.asarray([r[2] for r in rows])
+    return evaluate_read_labels(
+        [r[1] for r in rows], [r[2] for r in rows]
+    )
+
+
+def evaluate_read_labels(y_true, y_pred) -> dict:
+    """Array form of :func:`evaluate_read_classifications`.
+
+    ``y_true``/``y_pred`` are label sequences ('ambiguous' marks a
+    rejected read); the row-tuple wrapper above delegates here so
+    million-read benchmarks skip building per-read tuples.
+    """
+    y_true = np.asarray(y_true)
+    y_pred = np.asarray(y_pred)
     stats = _f1_stats(list(y_true), list(y_pred))
 
     rejected = y_pred == "ambiguous"
@@ -85,7 +97,7 @@ def evaluate_read_classifications(
     # (main.nf:529-555)
     actually_mis = y_pred != y_true
 
-    coverage = float(not_rejected.mean()) if len(rows) else 0.0
+    coverage = float(not_rejected.mean()) if len(y_true) else 0.0
     if not_rejected.sum():
         selective_accuracy = float(
             ((y_true == y_pred) & not_rejected).sum() / not_rejected.sum()
