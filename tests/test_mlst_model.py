@@ -229,3 +229,53 @@ def test_device_reduction_matches_host_reduction(tmp_path, scheme_dir, rng):
         )
         raw = model.engines[li].count_hits(batch)
         np.testing.assert_array_equal(row, raw[0])
+
+
+def _strip_st_name(hits: dict) -> dict:
+    """Drop the network-resolved ST_Name (offline fallback text varies)."""
+    out = {}
+    for rid, payload in hits.items():
+        strain = dict(payload[0]["Strain type"])
+        strain.pop("ST_Name", None)
+        out[rid] = [{"Strain type": strain}, payload[1]]
+    return out
+
+
+def test_grouped_predict_matches_per_genome_path(tmp_path, scheme_dir, rng):
+    """Multi-genome fused dispatch == the per-genome round-4 path, exactly.
+
+    predict(batch_genomes=3) routes B genomes' chunks through ONE
+    device program per locus group with an on-device per-genome segment
+    reduction; every score must equal the per-genome calculate_hits
+    path (which dispatches one fused program per genome).  Mixed-length
+    input exercises the split-status flush: >=10 kb genomes chunk with
+    the score>50 rule, short ones report raw counts.
+    """
+    scheme, alleles = scheme_dir
+    model = _make_model(tmp_path)
+    model.base_path.mkdir(parents=True, exist_ok=True)
+    model.fit(scheme)
+
+    records = []
+    for g in range(3):  # long genomes with one known allele per locus
+        seq = random_dna(rng, 25_000)
+        pos = 2_000
+        for locus in ("Oxf_cpn60", "Oxf_gltA"):
+            a = int(rng.integers(1, 5))
+            seq = seq[:pos] + alleles[(locus, a)] + seq[pos + ALLELE_LEN :]
+            pos += 8_000
+        records.append(SeqRecord(seq, id=f"long{g}"))
+    for g in range(2):  # short inputs: raw-count path
+        records.append(SeqRecord(random_dna(rng, 900), id=f"short{g}"))
+
+    grouped = model.predict(iter(records), batch_genomes=3)
+    assert set(grouped.hits) == {r.id for r in records}
+
+    per_genome = {
+        r.id: model.calculate_hits(r.seq, step=1) for r in records
+    }
+    assert _strip_st_name(grouped.hits) == _strip_st_name(per_genome)
+
+    # batch_genomes=1 through the same grouped machinery is also exact
+    single = model.predict(iter(records), batch_genomes=1)
+    assert _strip_st_name(single.hits) == _strip_st_name(per_genome)

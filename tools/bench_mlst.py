@@ -93,14 +93,29 @@ def main():
         genomes.append(SeqRecord(seq, f"g{g}"))
         truth.append(picks)
 
-    # warm (compile)
-    _ = model.predict([genomes[0]])
+    # the multi-genome file path (`classify mlst`): batch_genomes
+    # genomes' chunks fused into ONE device program per locus group
+    # with on-device per-genome segment reduction — sweep the batch
+    # size (the per-genome cost at batch 1 is the ~25 ms dispatch
+    # floor; larger groups amortize it).  Each size is warmed on its
+    # own group shape first so the timed pass carries no compiles.
+    sweep = {}
+    res = None
+    for bg in (1, 4, 8):
+        warm_n = min(len(genomes), max(bg, 1))
+        _ = model.predict(iter(genomes[:warm_n]), batch_genomes=bg)
+        t0 = time.time()
+        r_bg = model.predict(iter(genomes), batch_genomes=bg)
+        sweep[bg] = args.genomes / (time.time() - t0)
+        print(
+            f"batch_genomes={bg}: {sweep[bg]:.2f} genomes/s", file=sys.stderr
+        )
+        if res is None or sweep[bg] == max(sweep.values()):
+            res = r_bg
+    best_bg = max(sweep, key=sweep.get)
+    gps = sweep[best_bg]
+    dt = args.genomes / gps
 
-    # the multi-genome file path (`classify mlst`): per-record rounds,
-    # all loci of a record dispatched before its single fetch
-    t0 = time.time()
-    res = model.predict(iter(genomes))
-    dt = time.time() - t0
     correct = total = 0
     for g, rec in enumerate(genomes):
         for locus in loci:
@@ -111,7 +126,6 @@ def main():
                 best = next(iter(r))  # sorted: count desc, then name
                 if best == f"Allele_ID_{truth[g][locus] + 1}":
                     correct += 1
-    gps = args.genomes / dt
     bps = args.genomes * args.genome_len / dt
 
     # CPU baseline: the identical per-locus chunk queries through the
@@ -159,6 +173,10 @@ def main():
                     "fit_s": round(fit_s, 1),
                     "cpu_1core_genomes_per_s": round(cpu_gps, 2),
                     "cpu_backend": "native" if native.available() else "numpy",
+                    "batch_genomes_best": best_bg,
+                    "genomes_per_s_by_batch": {
+                        str(bg): round(v, 2) for bg, v in sweep.items()
+                    },
                 },
             }
         )

@@ -290,6 +290,124 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
                 dispatched[li] = (out, n_pieces)
         return dispatched
 
+    def _dispatch_loci_group(self, seqs: list[str], step: int) -> list[tuple]:
+        """Dispatch every locus query for a GROUP of genomes, fused.
+
+        The per-genome cost of :meth:`_dispatch_loci` is dominated by
+        the ~25 ms dispatch floor of the tunneled runtime (ops/query.py
+        ``make_multi_packed_query``), so this concatenates all genomes'
+        chunk records into ONE prepared batch per locus group and
+        reduces per genome ON DEVICE (``thresholded_segment_totals``):
+        one dispatch and one [B, C]-per-locus fetch type B genomes.
+        All genomes in the group must share the >=10 kb split status
+        (the caller buffers accordingly).  Returns the same
+        ``dispatched`` structure :meth:`_fetch_counts` consumes, one
+        entry per locus, each ``[B, C]``.
+        """
+        for s in seqs:
+            if not isinstance(s, str):
+                raise ValueError("Invalid sequence, must be a string")
+            if not len(s) > self.k:
+                raise ValueError("Invalid sequence, must be longer than k")
+        if not self.indices:
+            raise ValueError("The model has not been trained yet")
+        use_split = len(seqs[0]) >= SPLIT_MIN_LENGTH
+        if any((len(s) >= SPLIT_MIN_LENGTH) != use_split for s in seqs):
+            raise ValueError("group must share the split status")
+        n_genomes = len(seqs)
+        threshold = CHUNK_SCORE_THRESHOLD if use_split else -1
+
+        import jax.numpy as jnp
+
+        from xspect2_tpu.ops.query import (
+            _next_pow2,
+            make_multi_packed_query,
+            packed_wire_for_batch,
+            prepare_batch,
+        )
+
+        groups: dict[tuple, dict] = {}
+        for li, engine in enumerate(self.engines):
+            size = self.avg_locus_bp_size[li] if use_split else None
+            key = (size, engine.chunk)
+            if key not in groups:
+                records, seg = [], []
+                for b, s in enumerate(seqs):
+                    pieces = (
+                        self.sequence_splitter(s, size) if use_split else [s]
+                    )
+                    for i, p in enumerate(pieces):
+                        records.append((f"g{b}p{i}", dna.encode(p)))
+                        seg.append(b)
+                groups[key] = {
+                    "batch": prepare_batch(
+                        records, self.k, step=step, chunk=engine.chunk
+                    ),
+                    "seg": np.asarray(seg, dtype=np.int32),
+                    "loci": [],
+                }
+            groups[key]["loci"].append(li)
+
+        dispatched: list[tuple | None] = [None] * len(self.engines)
+        for group in groups.values():
+            batch, seg, loci = group["batch"], group["seg"], group["loci"]
+            if batch.num_records == 0:  # defensive: all pieces invalid
+                for li in loci:
+                    zeros = np.zeros(
+                        (n_genomes, self.indices[li].num_classes), np.int64
+                    )
+                    dispatched[li] = (zeros, n_genomes)
+                continue
+            max_records = _next_pow2(max(8, batch.num_records))
+            num_chunks = batch.num_positions // self.engines[loci[0]].chunk
+            geoms = tuple(
+                tuple(
+                    sorted(
+                        dict(
+                            num_blocks=int(self.indices[li].num_blocks),
+                            k=self.k,
+                            num_hashes=self.indices[li].num_hashes,
+                            rows_per_block=self.indices[li].rows_per_block,
+                            class_words=self.indices[li].class_words,
+                            num_classes=self.indices[li].num_classes,
+                            chunk=self.engines[li].chunk,
+                            num_chunks=num_chunks,
+                            max_records=max_records,
+                            fields_per_word=self.indices[li].fields_per_word,
+                        ).items()
+                    )
+                )
+                for li in loci
+            )
+            fused_key = (
+                geoms,
+                step,
+                "thresholded_segment_totals",
+                threshold,
+                n_genomes,
+            )
+            fused = self._fused_queries.get(fused_key)
+            if fused is None:
+                fused = make_multi_packed_query(
+                    geoms,
+                    step,
+                    reduce_mode="thresholded_segment_totals",
+                    threshold=threshold,
+                    num_segments=n_genomes,
+                )
+                self._fused_queries[fused_key] = fused
+            seg_pad = np.zeros(max_records, dtype=np.int32)
+            seg_pad[: len(seg)] = seg
+            wire = packed_wire_for_batch(batch, max_records)
+            outs = fused(
+                tuple(self.engines[li].table for li in loci),
+                *wire,
+                jnp.asarray(seg_pad),
+            )
+            for li, out in zip(loci, outs):
+                dispatched[li] = (out, n_genomes)
+        return dispatched
+
     @staticmethod
     def _fetch_counts(dispatched: list[tuple]) -> list[np.ndarray]:
         """ONE device->host transfer for any number of dispatched outputs."""
@@ -414,6 +532,7 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
         sequence_input,
         step: int = 1,
         limit: bool = False,
+        batch_genomes: int | None = None,
     ) -> MlstResult:
         if isinstance(sequence_input, SeqRecord):
             if sequence_input.id == "<unknown id>":
@@ -427,33 +546,69 @@ class ProbabilisticFilterMlstSchemeModel(ProbabilisticFilterModel):
 
         if isinstance(sequence_input, Path):
             return self.predict(
-                get_record_iterator(sequence_input), step=step, limit=limit
+                get_record_iterator(sequence_input),
+                step=step,
+                limit=limit,
+                batch_genomes=batch_genomes,
             )
 
         if hasattr(sequence_input, "__iter__"):
-            # per-record programs, depth-2 pipelined: cross-record fetch
-            # BATCHING was measured SLOWER on the dev chip (the wide
-            # concatenate compiles per distinct record-count and queued
-            # transfers congest the tunneled link), but keeping one
-            # record in flight overlaps record N's device execution +
-            # fetch with record N+1's host-side split/pack/transfer
-            # (bounded depth: unbounded queues congest the link,
-            # docs/performance.md)
+            # cross-GENOME fused dispatch: `batch_genomes` records'
+            # chunks go through ONE device program per locus group with
+            # a per-genome segment reduction on device (the [B, C]
+            # fetch stays tiny), so the ~25 ms dispatch floor amortizes
+            # over B genomes (tools/bench_mlst.py measures the sweep;
+            # round-4's SLOWER finding was cross-record FETCH batching
+            # — wide [records, C] concatenates through the tunnel —
+            # which the on-device segment reduction sidesteps).  Groups
+            # are flushed early if the >=10 kb split status changes so
+            # every group shares one chunk geometry.  Depth-2 group
+            # pipelining overlaps group N's device execution + fetch
+            # with group N+1's host-side split/pack/transfer (bounded
+            # depth: unbounded queues congest the link,
+            # docs/performance.md).
+            if batch_genomes is None:
+                import os
+
+                batch_genomes = int(
+                    os.environ.get("XSPECT_MLST_BATCH_GENOMES", "4")
+                )
+            batch_genomes = max(1, batch_genomes)
             hits = {}
             inflight: list[tuple] = []
+            buffer: list[tuple[str, str]] = []  # (record id, sequence)
 
             def drain_one():
-                rid, seq, dispatched = inflight.pop(0)
+                group, dispatched = inflight.pop(0)
                 counts = self._fetch_counts(dispatched)
-                hits[rid] = self._assemble_hits(seq, counts, limit)
+                for b, (rid, seq) in enumerate(group):
+                    hits[rid] = self._assemble_hits(
+                        seq, [c[b] for c in counts], limit
+                    )
+
+            def flush():
+                if not buffer:
+                    return
+                group = list(buffer)
+                buffer.clear()
+                dispatched = self._dispatch_loci_group(
+                    [seq for _, seq in group], step
+                )
+                inflight.append((group, dispatched))
+                while len(inflight) >= 2:
+                    drain_one()
 
             for record in sequence_input:
                 seq = record.seq
-                inflight.append(
-                    (record.id, seq, self._dispatch_loci(seq, step))
-                )
-                while len(inflight) >= 2:
-                    drain_one()
+                if buffer and (
+                    (len(seq) >= SPLIT_MIN_LENGTH)
+                    != (len(buffer[0][1]) >= SPLIT_MIN_LENGTH)
+                ):
+                    flush()
+                buffer.append((record.id, seq))
+                if len(buffer) >= batch_genomes:
+                    flush()
+            flush()
             while inflight:
                 drain_one()
             return MlstResult(self.model_display_name, step, hits, None)

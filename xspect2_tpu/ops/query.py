@@ -833,7 +833,11 @@ def packed_wire_for_batch(batch, max_records: int):
 
 
 def make_multi_packed_query(
-    geoms: tuple, step: int, reduce_mode: str | None = None, threshold: int = 0
+    geoms: tuple,
+    step: int,
+    reduce_mode: str | None = None,
+    threshold: int = 0,
+    num_segments: int | None = None,
 ):
     """ONE jitted program computing per-record hits for SEVERAL indices
     sharing one prepared batch.
@@ -859,7 +863,37 @@ def make_multi_packed_query(
       real pieces.
     - ``"first_record"``: row 0 only (the short-input single-piece
       path, which reports raw unthresholded counts).
+    - ``"thresholded_segment_totals"``: the multi-GENOME extension of
+      ``"thresholded_totals"`` — the fn takes an extra ``seg_ids``
+      operand ([max_records] int32, record slot -> genome) and returns
+      [``num_segments``, C] per index: per-record counts below
+      ``threshold`` zeroed, then segment-summed per genome.  One
+      dispatch then types ``num_segments`` genomes (the per-genome
+      cost was dominated by the ~25 ms dispatch floor); padded record
+      slots count zero hits, so any segment they map to is unaffected.
+      ``threshold=-1`` keeps raw counts (the short-input rule) while
+      still reducing per genome.
     """
+
+    if reduce_mode == "thresholded_segment_totals":
+        if not num_segments or num_segments < 1:
+            raise ValueError(
+                "thresholded_segment_totals requires num_segments >= 1"
+            )
+
+        def fn_seg(tables, packed, bad_pos, offsets, seg_ids):
+            outs = []
+            for t, g in zip(tables, geoms):
+                h = query_hits_packed_batch_device(
+                    t, packed, bad_pos, offsets, step=step, **dict(g)
+                )
+                hz = jnp.where(h > threshold, h, 0).astype(jnp.int32)
+                outs.append(
+                    jax.ops.segment_sum(hz, seg_ids, num_segments=num_segments)
+                )
+            return tuple(outs)
+
+        return jax.jit(fn_seg)
 
     def fn(tables, packed, bad_pos, offsets):
         outs = []
