@@ -47,7 +47,7 @@ K = 21
 # Every section is gated on the remaining budget and the compact
 # summary line is re-emitted after each section ("partial": true), so a
 # kill at ANY instant leaves the latest summary as the last stdout line.
-BUDGET_S = float(os.environ.get("XSPECT_BENCH_BUDGET_S", "2400"))
+BUDGET_S = float(os.environ.get("XSPECT_BENCH_BUDGET_S", "2700"))
 _BENCH_T0 = time.time()
 
 
@@ -482,8 +482,10 @@ def run_species_config(
     ``{config, value, unit, vs_baseline}`` entry and details carries
     every sample backing it.
     """
+    t_cfg = time.time()
     index, genomes = build_or_load_index(classes, genome_mb)
     reads, true_cls = simulate_reads(genomes, num_reads)
+    log(f"[t] index+reads ready at {time.time() - t_cfg:.0f}s")
 
     log(f"--- config {label}: {classes} classes, {index.nbytes / 1e6:.0f} MB, "
         f"h={index.num_hashes}, fields/word={index.fields_per_word}")
@@ -503,12 +505,14 @@ def run_species_config(
         acc = float((preds[:n_eval] == true_cls[:n_eval]).mean())
         log(f"argmax accuracy vs source genome: {acc:.4f}")
 
+    log(f"[t] device section done at {time.time() - t_cfg:.0f}s")
     # baseline measured on the REFERENCE design point (classic layout,
     # h=7 for COBS species / h=1 for the genus Bloom filter): framework
     # layout improvements must not strengthen the baseline
     ref_index, _ = build_or_load_index(
         classes, genome_mb, reference_geometry=True, ref_hashes=ref_hashes
     )
+    log(f"[t] ref index loaded at {time.time() - t_cfg:.0f}s")
     cpu_rps, python_rps, baseline_rates = bench_cpu_baseline(
         ref_index, reads, sample=baseline_sample, repeats=baseline_repeats
     )
@@ -521,6 +525,7 @@ def run_species_config(
         index, reads, sample=max(256, baseline_sample // 2), repeats=baseline_repeats
     )
     log(f"cpu native on packed layout: {cpu_packed_rps:,.0f} reads/s")
+    log(f"[t] baselines done at {time.time() - t_cfg:.0f}s")
     strongest_cpu = max(cpu_rps, cpu_packed_rps)
 
     config = {
@@ -1027,8 +1032,11 @@ def main():
     ap.add_argument(
         "--watchdog-seconds",
         type=int,
-        default=2700,
-        help="emit whatever finished and exit after this long (0 = off)",
+        default=-1,
+        help=(
+            "emit whatever finished and exit after this long "
+            "(0 = off; -1 = auto: the global budget + 180s)"
+        ),
     )
     ap.add_argument(
         "--one-config-json",
@@ -1085,10 +1093,16 @@ def main():
     watchdog = None
     if args.watchdog_seconds:
         # backstop only: the budget gates below should always finish
-        # first; the watchdog catches a hung jax call in the parent
-        watchdog = _start_watchdog(
-            min(args.watchdog_seconds, int(BUDGET_S) + 120), state
+        # first (every section starts only when it can end before the
+        # budget); the watchdog catches a hung jax call in the parent,
+        # firing safely AFTER the budget so it cannot race the final
+        # summary print
+        seconds = (
+            int(BUDGET_S) + 180
+            if args.watchdog_seconds < 0
+            else args.watchdog_seconds
         )
+        watchdog = _start_watchdog(seconds, state)
 
     def emit_partial():
         """Re-print the compact summary so ANY kill leaves it in the tail."""
@@ -1195,27 +1209,6 @@ def main():
         emit_partial()
 
     if not (args.quick or args.headline_only):
-        # ---- reference-scale: ~40-species Acinetobacter geometry
-        # (auto layout lands in the flat slow-gather regime; the
-        # multi-chip answer is block-axis sharding — docs/performance.md).
-        # sparse_steps: the reference's own --sparse-sampling-step knob
-        # measured at 2 and 4 with the accuracy delta (the designed out
-        # for the 100x shortfall, recorded as data)
-        if gate("species-40class-reference-scale", 240):
-            run_config_isolated(
-                "species_40class_reference_scale",
-                classes=40,
-                genome_mb=args.genome_mb,
-                num_reads=min(args.reads, 200_000),
-                batch_reads=args.batch_reads,
-                label="species-40class-reference-scale",
-                baseline_sample=256,
-                baseline_repeats=20,
-                e2e_passes=2,
-                sparse_steps=(2, 4),
-            )
-            emit_partial()
-
         # ---- config 1: genus single-filter (C=1).  32 MB metagenome:
         # representative of a real genus filter AND a ~99 MB table —
         # the proven fast-regime shape (docs/performance.md "Genus
@@ -1296,6 +1289,33 @@ def main():
                 configs.append(
                     {"config": "read-accuracy-noisy", "error": str(exc)[:300]}
                 )
+            emit_partial()
+
+        # ---- reference-scale: ~40-species Acinetobacter geometry
+        # (auto layout lands in the flat slow-gather regime; the
+        # multi-chip answer is block-axis sharding — docs/performance.md).
+        # sparse_steps: the reference's own --sparse-sampling-step knob
+        # measured at 2 and 4 with the accuracy delta (the designed out
+        # for the 100x shortfall, recorded as data).  Runs AFTER the
+        # cheap configs with the biggest child cap: its 399 MB device
+        # table is the one transfer a degraded tunnel window can
+        # stretch past any reasonable timeout (observed: warmup still
+        # pending at 900 s while a 99 MB config finished in ~200 s), so
+        # a bad window must starve only THIS config, not the artifact
+        if gate("species-40class-reference-scale", 300):
+            run_config_isolated(
+                "species_40class_reference_scale",
+                cap_s=700,
+                classes=40,
+                genome_mb=args.genome_mb,
+                num_reads=min(args.reads, 200_000),
+                batch_reads=args.batch_reads,
+                label="species-40class-reference-scale",
+                baseline_sample=256,
+                baseline_repeats=20,
+                e2e_passes=2,
+                sparse_steps=(2, 4),
+            )
             emit_partial()
 
     # multi-process scaling efficiency (CPU mesh, core-pinned; the
