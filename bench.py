@@ -704,6 +704,12 @@ def project_species40_nchip(spmd_ratio: float | None, d40: dict) -> dict:
     }
     cpu_ref = d40.get("cpu_1core_native_ref_layout_reads_per_s")
     for n_chips in (2, 4):
+        # each window costs a table transfer + compile; a degraded
+        # window can stretch that arbitrarily, so never start one the
+        # budget can't absorb (the watchdog is a backstop, not a plan)
+        if remaining() < 100:
+            out[f"blk{n_chips}_skipped"] = f"budget: {remaining():.0f}s left"
+            continue
         r_win = measure_shard_window_rate(
             -(-nb // n_chips),
             nb,
@@ -753,18 +759,25 @@ def run_pangenome_config(spmd_ratio: float | None, timeout_s: int = 600):
 
     # real-chip shard-window rates at the geometries a pod would hold:
     # blk=8 (~263 MB/shard, slow gather regime) and blk=32 (~66 MB,
-    # fast regime)
+    # fast regime).  Each costs a table transfer + compile, so both
+    # are budget-gated (a degraded window stretches them arbitrarily)
     details = dict(pg)
     nb = pg["num_blocks"]
+    r_blk8 = r_blk32 = None
     try:
+        if remaining() < 120:
+            raise TimeoutError(f"budget: {remaining():.0f}s left")
         r_blk8 = measure_shard_window_rate(
             -(-nb // 8), nb, pg["rows_per_block"], pg["class_words"], 7
         )
+        if remaining() < 100:
+            raise TimeoutError(f"budget: {remaining():.0f}s left after blk8")
         r_blk32 = measure_shard_window_rate(
             -(-nb // 32), nb, pg["rows_per_block"], pg["class_words"], 7
         )
     except Exception as exc:
         details["shard_window_error"] = str(exc)[:300]
+    if r_blk8 is None:  # no real-chip window rate: cpu-mesh value only
         return (
             {
                 "config": "pangenome-256class-2gb",
@@ -780,7 +793,6 @@ def run_pangenome_config(spmd_ratio: float | None, timeout_s: int = 600):
     details.update(
         {
             "shard_window_blk8_reads_per_s_chip": round(r_blk8),
-            "shard_window_blk32_reads_per_s_chip": round(r_blk32),
             "spmd_ratio_applied": round(spmd, 3),
             "spmd_ratio_source": (
                 "measured this run" if spmd_ratio else "default 0.95 (scaling section unavailable)"
@@ -790,10 +802,18 @@ def run_pangenome_config(spmd_ratio: float | None, timeout_s: int = 600):
             # full read stream; psum over blk assembles exact hits
             "projected_v5e8_blk8_reads_per_s": round(r_blk8 * spmd),
             "projected_v5e32_blk8_dp4_reads_per_s": round(4 * r_blk8 * spmd),
-            "projected_v5e32_blk32_reads_per_s": round(r_blk32 * spmd),
-            "projected_v5e64_blk32_dp2_reads_per_s": round(2 * r_blk32 * spmd),
         }
     )
+    if r_blk32 is not None:
+        details.update(
+            {
+                "shard_window_blk32_reads_per_s_chip": round(r_blk32),
+                "projected_v5e32_blk32_reads_per_s": round(r_blk32 * spmd),
+                "projected_v5e64_blk32_dp2_reads_per_s": round(
+                    2 * r_blk32 * spmd
+                ),
+            }
+        )
     value = details["projected_v5e32_blk8_dp4_reads_per_s"]
     cpu = pg.get("cpu_1core_native_reads_per_s")
     config = {
@@ -1325,8 +1345,9 @@ def main():
     if not (args.quick or args.headline_only):
         import subprocess
 
-        # leave headroom for the pangenome + shard-window section
-        scaling_cap = int(min(1100, remaining() - 380))
+        # leave headroom for the pangenome + shard-window + 40-class
+        # projection sections (~500s in a good window)
+        scaling_cap = int(min(1000, remaining() - 500))
         if scaling_cap < 240:
             scaling["scaling_skipped"] = (
                 f"budget: {remaining():.0f}s left, cap {scaling_cap}s"

@@ -590,7 +590,15 @@ def make_reads_query_body(
     nk = read_len - k + 1
     lo_bases = min(k, 16)
     hi_bases = k - lo_bases
-    step_mask_np = (np.arange(nk) % step == 0).astype(np.int32)
+    # sparse sampling keeps windows 0, step, 2*step, ... — the SAME
+    # positions the reference's COBS `step` parameter samples.  The
+    # kept windows are strided OUT of the k-mer axis BEFORE the table
+    # gather (round 5): the query is gather-bound, so masking skipped
+    # windows after a dense gather made step a no-op on the device
+    # rate (measured flat 568-570 k reads/s at step 1/2/4 on the
+    # 40-class config); slicing first divides the gather stream by
+    # `step` and the rate scales accordingly.
+    nk_kept = len(range(0, nk, step))
     # per-read counts are bounded by ceil(nk/step): pick the widest safe
     # lane packing for the per-class accumulation (4 classes/pass in
     # byte lanes, 2 in 16-bit lanes, else one class per pass)
@@ -605,7 +613,6 @@ def make_reads_query_body(
     def body(table2d, reads, num_blocks, block_offset=None):
         n = reads.shape[0]
         num_chunks = n // reads_per_chunk
-        step_mask = jnp.asarray(step_mask_np)
 
         def chunk_fn(_, i):
             r = lax.dynamic_slice(
@@ -638,10 +645,13 @@ def make_reads_query_body(
                     r_lo = (r_lo << jnp.uint32(2)) | cm
 
             fwd_le = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-            hi = jnp.where(fwd_le, f_hi, r_hi).reshape(-1)
-            lo = jnp.where(fwd_le, f_lo, r_lo).reshape(-1)
+            # stride out the sampled windows BEFORE the gather (see
+            # the factory docstring): [rpc, nk] -> [rpc, nk_kept]
+            hi = jnp.where(fwd_le, f_hi, r_hi)[:, ::step].reshape(-1)
+            lo = jnp.where(fwd_le, f_lo, r_lo)[:, ::step].reshape(-1)
+            badw = badw[:, ::step]
 
-            nkm = reads_per_chunk * nk
+            nkm = reads_per_chunk * nk_kept
             anded = _gather_and_probe(
                 table2d,
                 hi,
@@ -655,15 +665,17 @@ def make_reads_query_body(
                 block_offset=block_offset,
             )
 
-            # invalid windows / skipped sparse-sampling phases contribute
-            # 0 to every class: zero the AND word once
-            mask = (~badw) & (step_mask[None, :] > 0)  # [rpc, nk] bool
-            anded = jnp.where(mask.reshape(nkm)[:, None], anded, jnp.uint32(0))
+            # invalid (N-bearing) windows contribute 0 to every class:
+            # zero the AND word once (skipped sparse-sampling phases
+            # were already strided out above)
+            anded = jnp.where(
+                (~badw).reshape(nkm)[:, None], anded, jnp.uint32(0)
+            )
 
             hits_t = _accumulate_reads(
                 anded,
                 reads_per_chunk=reads_per_chunk,
-                nk=nk,
+                nk=nk_kept,
                 class_words=class_words,
                 num_classes=num_classes,
                 lane_bits=lane_bits,
