@@ -82,7 +82,14 @@ class PreparedBatch:
     # and validity on device from these instead of shipping them
     offsets: np.ndarray | None = None
     # sparse-sampling step baked into ``valid``; the compact wire
-    # re-derives the phase mask on device and needs it explicitly
+    # re-derives the phase mask on device and needs it explicitly.
+    # NOTE: the ragged-records path implements step by MASKING (each
+    # record's stride restarts at its own offset, so a static slice of
+    # the flat position stream cannot express it) — step therefore
+    # does not reduce this path's gather work.  The uniform-reads fast
+    # path (make_reads_query_body) strides the sampled windows out
+    # before the gather and gets the ~step-fold device speedup; route
+    # throughput-sensitive sparse queries there.
     step: int = 1
     # lazily cached device-resident compact wire: engines with equal
     # chunk geometry querying the SAME batch (e.g. every MLST locus of
