@@ -693,7 +693,10 @@ def project_species40_nchip(spmd_ratio: float | None, d40: dict) -> dict:
     """
     index, _ = build_or_load_index(40, 4.0)
     nb = int(index.num_blocks)
-    spmd = spmd_ratio if spmd_ratio else 0.95
+    # the ratio is measured on a 2-core host where cache effects can
+    # push it ABOVE 1.0 (observed 1.245); a projection multiplier must
+    # never inflate, so clamp to 1.0
+    spmd = min(1.0, spmd_ratio) if spmd_ratio else 0.95
     out = {
         "num_blocks": nb,
         "index_mb": round(index.nbytes / 1e6, 1),
@@ -789,7 +792,10 @@ def run_pangenome_config(spmd_ratio: float | None, timeout_s: int = 600):
             },
             details,
         )
-    spmd = spmd_ratio if spmd_ratio else 0.95
+    # the ratio is measured on a 2-core host where cache effects can
+    # push it ABOVE 1.0 (observed 1.245); a projection multiplier must
+    # never inflate, so clamp to 1.0
+    spmd = min(1.0, spmd_ratio) if spmd_ratio else 0.95
     details.update(
         {
             "shard_window_blk8_reads_per_s_chip": round(r_blk8),
