@@ -191,3 +191,17 @@ def test_grid_search_svm(rng):
     results = grid_search_svm(x, y, kernels=("linear", "rbf"), cs=(1.0,))
     assert results[0]["loo_accuracy"] > 0.9
     assert {r["kernel"] for r in results} == {"linear", "rbf"}
+
+
+def test_mutate_sequence_string_wrapper():
+    from xspect2_tpu.misclassification_detection.simulate_reads import (
+        mutate_sequence,
+    )
+
+    seq = "ACGT" * 50
+    out = mutate_sequence(seq, sub_rate=0.05, indel_rate=0.0, seed=1)
+    assert len(out) == len(seq) and out != seq
+    assert set(out) <= set("ACGT")
+    # deterministic and identity at zero rates
+    assert out == mutate_sequence(seq, sub_rate=0.05, indel_rate=0.0, seed=1)
+    assert mutate_sequence(seq, sub_rate=0.0, indel_rate=0.0, seed=1) == seq
